@@ -1,0 +1,143 @@
+"""Checkpoint / restore.
+
+Reference semantics (save_data_end / read_data, LBM.cu:2567-2671 +
+main.cu:158-175): only macroscopic fields are checkpointed; populations are
+re-derived via equilibrium on restore — restart is deliberately lossy.
+
+Two formats:
+  - .npz (default): compact binary of the macroscopic fields + time; the
+    native restore path.
+  - data_end.dat ASCII: byte-layout-compatible with the reference's
+    12-column dump, for cross-restoring between the CUDA solver and this
+    framework in either direction.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import Config
+from ..diagnostics import wall_extrapolate
+from ..init import state_from_macro
+from ..state import Macro, State
+
+_FIELDS = ["rho", "ux", "uy", "uz", "charge", "chargen", "phi", "Ex", "Ey", "Ez", "temp"]
+
+
+def save_npz(path: str, cfg: Config, macro: Macro, phi, E, t: float) -> None:
+    g = cfg.grid
+    shape = g.shape
+    zeros = np.zeros(shape)
+
+    def get(a):
+        return np.asarray(a, np.float64) if a is not None else zeros
+
+    np.savez_compressed(
+        path,
+        t=np.float64(t),
+        rho=get(macro.rho),
+        ux=get(macro.u[0]),
+        uy=get(macro.u[1]),
+        uz=get(macro.u[2]),
+        charge=get(macro.charge),
+        chargen=get(macro.chargen),
+        phi=get(phi),
+        Ex=get(E[0]) if E is not None else zeros,
+        Ey=get(E[1]) if E is not None else zeros,
+        Ez=get(E[2]) if E is not None else zeros,
+        temp=get(macro.temp),
+        grid=np.array([g.nx, g.ny, g.nz]),
+    )
+
+
+def load_npz(path: str, cfg: Config) -> State:
+    import jax.numpy as jnp
+
+    with np.load(path) as d:
+        g = cfg.grid
+        if tuple(d["grid"]) != (g.nx, g.ny, g.nz):
+            raise ValueError(
+                f"checkpoint grid {tuple(d['grid'])} != config grid {(g.nx, g.ny, g.nz)}"
+            )
+        dtype = jnp.dtype(cfg.run.dtype)
+        arr = lambda k: jnp.asarray(d[k], dtype)
+        u = jnp.stack([arr("ux"), arr("uy"), arr("uz")])
+        E = jnp.stack([arr("Ex"), arr("Ey"), arr("Ez")])
+        ek = cfg.physics.enable_ek
+        th = cfg.physics.enable_thermal
+        macro = Macro(
+            rho=arr("rho"),
+            u=u,
+            charge=arr("charge") if ek else None,
+            chargen=arr("chargen") if ek else None,
+            temp=arr("temp") if th else None,
+        )
+        return state_from_macro(
+            cfg,
+            macro,
+            arr("phi") if ek else None,
+            E if ek else None,
+            float(d["t"]),
+        )
+
+
+def save_reference_ascii(path: str, cfg: Config, macro: Macro, phi, E, t: float) -> None:
+    """data_end.dat in the reference's exact 12-column ASCII layout
+    (LBM.cu:2613-2624), including the wall extrapolation it applies first
+    (LBM.cu:2596-2612)."""
+    import jax.numpy as jnp
+
+    g = cfg.grid
+    shape = g.shape
+    zeros = np.zeros(shape)
+
+    def get(a):
+        return np.asarray(a, np.float64) if a is not None else zeros
+
+    rho = np.asarray(wall_extrapolate(jnp.asarray(get(macro.rho))))
+    u = np.asarray(wall_extrapolate(jnp.asarray(get(macro.u))))
+    charge = np.asarray(wall_extrapolate(jnp.asarray(get(macro.charge))))
+    chargen = np.asarray(wall_extrapolate(jnp.asarray(get(macro.chargen))))
+    phi_a, temp = get(phi), get(macro.temp)
+    E_a = get(E) if E is not None else np.zeros((3,) + shape)
+
+    cols = np.stack(
+        [
+            np.full(g.num_nodes, t),
+            u[0].ravel(), u[1].ravel(), u[2].ravel(), rho.ravel(),
+            charge.ravel(), chargen.ravel(), phi_a.ravel(),
+            E_a[0].ravel(), E_a[1].ravel(), E_a[2].ravel(), temp.ravel(),
+        ],
+        axis=1,
+    )
+    with open(path, "w") as f:
+        for row in cols:
+            f.write(" ".join(f"{v:10.6f}" for v in row) + "\n")
+
+
+def load_reference_ascii(path: str, cfg: Config) -> State:
+    """Restore from the reference's data_end.dat (read_data, LBM.cu:2629-2671)."""
+    import jax.numpy as jnp
+
+    g = cfg.grid
+    data = np.loadtxt(path)
+    if data.shape != (g.num_nodes, 12):
+        raise ValueError(f"expected {(g.num_nodes, 12)} table, got {data.shape}")
+    t = float(data[0, 0])
+    dtype = jnp.dtype(cfg.run.dtype)
+
+    def field(i):
+        return jnp.asarray(data[:, i].reshape(g.shape), dtype)
+
+    u = jnp.stack([field(1), field(2), field(3)])
+    E = jnp.stack([field(8), field(9), field(10)])
+    ek = cfg.physics.enable_ek
+    macro = Macro(
+        rho=field(4),
+        u=u,
+        charge=field(5) if ek else None,
+        chargen=field(6) if ek else None,
+        temp=field(11) if cfg.physics.enable_thermal else None,
+    )
+    return state_from_macro(cfg, macro, field(7) if ek else None, E if ek else None, t)

@@ -1,0 +1,90 @@
+"""Wall boundary conditions at the z = 0 and z = NZ-1 plates.
+
+The reference implements these as three separate kernels with unrolled
+direction swaps; here each is a masked row update on the (Q, Z, Y, X) array
+using the OPP index map — the `f0bc` staging buffer (reference LBM.cu:502-504)
+disappears because the pre-collision populations are simply the step input.
+
+Ordering contract (reference stream_collide_save, LBM.cu:465-481):
+  1. collide writes post-collision arrays
+  2. `bounce_back_walls` overwrites wall rows of post-collision f using
+     *pre-collision* f           (gpu_boundary, LBM.cu:1848-1961)
+  3. streaming pulls (periodic in z!)
+  4. `scalar_wall_bcs` overwrites wall rows of the *streamed* ion/thermal
+     arrays using the *post-collision* values at the same wall node
+     (gpu_bc_charge, LBM.cu:2095-2416)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import Config
+from ..lattice import Lattice
+
+
+def bounce_back_walls(cfg: Config, f_post, f_pre):
+    """Full-way bounce-back on the fluid at both plates.
+
+    z=0 stationary wall: plain opposite-direction swap of the pre-collision
+    populations (reference LBM.cu:1859-1888); the rest population is restored
+    to its pre-collision value (the reference's f0bc trick).
+
+    z=NZ-1 moving wall at speed uw along x: bounce-back plus momentum term
+    2 rho0 uw w_i e_ix / (cs^2 CFL) (reference LBM.cu:1896-1927).
+
+    NOTE a deliberate deviation: the reference adds its `multis` term to
+    direction 3 (+y) at the upper plate (LBM.cu:1904) even though e_3x = 0;
+    we use the physically-standard e_ix-proportional term.  Identical for the
+    default uw = 0.
+    """
+    lat = cfg.lattice
+    p = cfg.physics
+    dtype = f_post.dtype
+    opp = jnp.asarray(lat.OPP)
+
+    refl = f_pre[opp]  # includes d=0 -> itself, i.e. the f0bc restore
+
+    # lower plate
+    f_post = f_post.at[:, 0].set(refl[:, 0])
+
+    # upper plate (moving wall)
+    w = jnp.asarray(lat.W, dtype)
+    ex = jnp.asarray(lat.E[:, 0], dtype)
+    mw = dtype.type(2.0 * p.rho0 * p.uw / cfg.cs2 / p.cfl) * w * ex
+    f_post = f_post.at[:, -1].set(refl[:, -1] + mw[:, None, None])
+    return f_post
+
+
+def scalar_wall_bcs(cfg: Config, streamed, post, which: str):
+    """Post-stream wall BCs for the scalar-transport populations.
+
+    which == "noflux":  Yoshida-2014 localized no-flux for the ion fields at
+    both plates: streamed wall populations replaced by the opposite
+    *post-collision* populations at the same node (reference LBM.cu:2102-2218).
+    The rest population is untouched.
+
+    which == "temperature": Dirichlet anti-bounce-back
+    (reference LBM.cu:2220-2413):
+        z=0    : g_i = -g2_opp + 2 TH w_i   (including the rest population)
+        z=NZ-1 : g_i = -g2_opp              (T = 0 wall)
+    """
+    lat = cfg.lattice
+    dtype = streamed.dtype
+    opp = jnp.asarray(lat.OPP)
+    refl = post[opp]
+
+    if which == "noflux":
+        lower = refl[:, 0].at[0].set(streamed[0, 0])
+        upper = refl[:, -1].at[0].set(streamed[0, -1])
+        out = streamed.at[:, 0].set(lower)
+        out = out.at[:, -1].set(upper)
+        return out
+
+    if which == "temperature":
+        w = jnp.asarray(lat.W, dtype)[:, None, None]
+        th = dtype.type(2.0 * cfg.physics.TH)
+        out = streamed.at[:, 0].set(-refl[:, 0] + th * w)
+        out = out.at[:, -1].set(-refl[:, -1])
+        return out
+
+    raise ValueError(f"unknown wall BC {which!r}")

@@ -1,0 +1,212 @@
+"""CLI runner — the reference's main() as a non-interactive command
+(reference main.cu:19-296; the interactive scanf restart prompt at
+main.cu:158-164 becomes the --resume flag).
+
+Usage:
+    python -m ekpnp run <preset> [--steps N] [--set key=value ...]
+                        [--resume ckpt.npz] [--outdir DIR] [--precision f32|f64]
+    python -m ekpnp info <preset>
+    python -m ekpnp bench [--size N] [--steps N]   (see benchmarks/)
+
+Outputs, mirroring the reference run artifacts:
+    out/data.dat      tecplot zones every NSAVE steps
+    out/umax.dat      (t, max uz) series every printCurrent steps
+    out/series.csv    structured time series (t, umax, |u|max, current, <T>)
+    out/data_end.npz  checkpoint (macroscopic fields; restart is lossy by
+                      reference semantics)
+    out/data_end.dat  reference-layout ASCII checkpoint (cross-compatible)
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import sys
+import time
+
+
+def _parse_overrides(pairs):
+    out = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise SystemExit(f"--set expects key=value, got {pair!r}")
+        k, v = pair.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def build_config(args):
+    from .config import preset
+
+    overrides = _parse_overrides(args.set)
+    if args.steps is not None:
+        overrides["nsteps"] = args.steps
+    if args.precision:
+        overrides["dtype"] = {"f32": "float32", "f64": "float64"}[args.precision]
+    if args.outdir:
+        overrides["outdir"] = args.outdir
+    return preset(args.preset, **overrides)
+
+
+def cmd_info(args):
+    from .diagnostics import dimensionless_banner
+
+    cfg = build_config(args)
+    print(dimensionless_banner(cfg))
+    return 0
+
+
+def cmd_run(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    cfg = build_config(args)
+    if cfg.run.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .diagnostics import (
+        check_finite,
+        dimensionless_banner,
+        ionic_current,
+        umax,
+        velocity_magnitude_max,
+    )
+    from .init import initialize
+    from .io import checkpoint as ckpt
+    from .io import tecplot
+    from .ops.collide import compute_macro
+    from .step import multi_step, step_jit
+
+    print(dimensionless_banner(cfg))
+    print(f"  timesteps: {cfg.run.nsteps}  save every: {cfg.run.nsave}")
+    print(f"  dtype: {cfg.run.dtype}  lattice: {cfg.run.lattice}")
+    print(f"  devices: {jax.devices()}")
+
+    outdir = cfg.run.outdir
+    os.makedirs(outdir, exist_ok=True)
+
+    if args.resume:
+        print(f"Restoring from {args.resume} (populations re-equilibrated)...")
+        if args.resume.endswith(".dat"):
+            state = ckpt.load_reference_ascii(args.resume, cfg)
+        else:
+            state = ckpt.load_npz(args.resume, cfg)
+    else:
+        print("Initializing (PB double-layer relaxation)...")
+        state, _ = initialize(cfg)
+
+    macro_fn = jax.jit(compute_macro, static_argnums=(0,))
+    macro, _ = macro_fn(cfg, state)
+
+    fout = open(os.path.join(outdir, "data.dat"), "w")
+    fumax = open(os.path.join(outdir, "umax.dat"), "w")
+    fcsv = open(os.path.join(outdir, "series.csv"), "w")
+    fcsv.write("step,t,umax_uz,umax_mag,current,mean_T\n")
+    tecplot.write_zone(fout, cfg, macro, state.phi, state.E, float(state.t), first=True)
+
+    nsteps = cfg.run.nsteps
+    nsave = max(1, cfg.run.nsave)
+    ncur = max(1, cfg.run.print_current)
+
+    # warm up compilation outside the timed loop (reference times kernels
+    # only, main.cu:185-186)
+    state, macro = step_jit(cfg, state)
+    jax.block_until_ready(state.f)
+    done = 1
+
+    t0 = time.perf_counter()
+    while done < nsteps:
+        # run to the next I/O event inside one compiled scan
+        next_event = min(
+            ((done // nsave) + 1) * nsave, ((done // ncur) + 1) * ncur, nsteps
+        )
+        chunk = next_event - done
+        state = multi_step(cfg, state, chunk)
+        done = next_event
+
+        if done % ncur == 0 or done == nsteps:
+            macro, _ = macro_fn(cfg, state)
+            um = float(umax(macro.u))
+            umag = float(velocity_magnitude_max(macro.u))
+            cur = (
+                float(ionic_current(cfg, macro.charge, macro.chargen, state.E[2]))
+                if cfg.physics.enable_ek
+                else 0.0
+            )
+            mean_t = float(jnp.mean(macro.temp)) if macro.temp is not None else 0.0
+            t_now = float(state.t)
+            fumax.write(f"{t_now:10.6f} {um:10.6f}\n")
+            fcsv.write(f"{done},{t_now:.9e},{um:.9e},{umag:.9e},{cur:.9e},{mean_t:.9e}\n")
+            print(
+                f"Iteration: {done}, physical time: {t_now:g}, Current = {cur:g}, "
+                f"umax = {um:g}"
+            )
+            if not check_finite(state):
+                print("ERROR: non-finite state detected; aborting", file=sys.stderr)
+                return 2
+
+        if done % nsave == 0 and done < nsteps:
+            macro, _ = macro_fn(cfg, state)
+            tecplot.write_zone(fout, cfg, macro, state.phi, state.E, float(state.t))
+
+    jax.block_until_ready(state.f)
+    runtime = time.perf_counter() - t0
+    nodes_updated = nsteps * cfg.grid.num_nodes
+    mlups = nodes_updated / (1e6 * runtime)
+
+    macro, _ = macro_fn(cfg, state)
+    tecplot.write_zone(fout, cfg, macro, state.phi, state.E, float(state.t))
+    fout.close()
+    fumax.close()
+    fcsv.close()
+
+    ckpt.save_npz(
+        os.path.join(outdir, "data_end.npz"), cfg, macro, state.phi, state.E, float(state.t)
+    )
+    ckpt.save_reference_ascii(
+        os.path.join(outdir, "data_end.dat"), cfg, macro, state.phi, state.E, float(state.t)
+    )
+
+    print(" ----- performance information -----")
+    print(f"           timesteps: {nsteps}")
+    print(f"       clock runtime: {runtime:.3f} (s)")
+    print(f"               speed: {mlups:.2f} (Mlups)")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ekpnp", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("preset", help="reference|poiseuille|ek-channel|ek-pnp|ek-pnp-thermal|pod")
+        p.add_argument("--steps", type=int, default=None)
+        p.add_argument("--set", nargs="*", metavar="key=value")
+        p.add_argument("--precision", choices=["f32", "f64"], default=None)
+        p.add_argument("--outdir", default=None)
+
+    p_run = sub.add_parser("run", help="run a simulation")
+    common(p_run)
+    p_run.add_argument("--resume", default=None, help="checkpoint (.npz or .dat)")
+    p_run.add_argument("--platform", default=None, help="jax platform override (cpu)")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_info = sub.add_parser("info", help="print configuration banner")
+    common(p_info)
+    p_info.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

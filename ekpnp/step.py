@@ -1,0 +1,76 @@
+"""One fused timestep (the reference hot path, main.cu:189-224).
+
+Order is the reference's exactly (stream_collide_save LBM.cu:465-481 then
+fast_Poisson main.cu:198):
+
+  collide (TRT, all fields) -> fluid bounce-back at walls -> pull stream
+  (periodic) -> ion no-flux + temperature Dirichlet wall BCs -> spectral
+  Poisson solve for phi, E (consumed by the *next* step's collide)
+
+Everything is one pure function of (Config static, State) -> (State, Macro);
+under `jax.jit` with donated state the double-buffer pointer swap of the
+reference becomes an in-place update.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+
+from .config import Config
+from .ops.boundary import bounce_back_walls, scalar_wall_bcs
+from .ops.collide import collide
+from .ops.poisson import poisson_solve
+from .ops.stream import stream
+from .state import Macro, State
+
+
+def step(cfg: Config, state: State, perturb: bool = False) -> tuple[State, Macro]:
+    p = cfg.physics
+    lat = cfg.lattice
+
+    post, macro = collide(cfg, state, perturb=perturb)
+
+    # fluid wall bounce-back uses pre-collision populations (LBM.cu:1848-1961)
+    f2 = bounce_back_walls(cfg, post.f, state.f)
+
+    f1 = stream(lat, f2)
+    h1 = hn1 = g1 = None
+    phi, E = state.phi, state.E
+
+    if p.enable_ek:
+        h1 = stream(lat, post.h)
+        hn1 = stream(lat, post.hn)
+        h1 = scalar_wall_bcs(cfg, h1, post.h, "noflux")
+        hn1 = scalar_wall_bcs(cfg, hn1, post.hn, "noflux")
+        phi, E = poisson_solve(cfg, macro.charge, macro.chargen)
+
+    if p.enable_thermal:
+        g1 = stream(lat, post.g)
+        g1 = scalar_wall_bcs(cfg, g1, post.g, "temperature")
+
+    dt = state.t.dtype.type(p.dt(cfg.grid.dx))
+    new = State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, E=E, t=state.t + dt)
+    return new, macro
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def step_jit(cfg: Config, state: State) -> tuple[State, Macro]:
+    return step(cfg, state)
+
+
+@partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
+def multi_step(cfg: Config, state: State, n: int) -> State:
+    """Run n steps inside one compiled loop (lax.scan over the step).
+
+    Macroscopic fields are recomputable from the returned state with
+    `ekpnp.ops.collide.compute_macro` — the reference instead stores them
+    every step (LBM.cu:807-813); here the inner loop carries populations
+    only, saving HBM traffic."""
+
+    def body(carry, _):
+        new, _ = step(cfg, carry)
+        return new, None
+
+    state, _ = jax.lax.scan(body, state, None, length=n)
+    return state

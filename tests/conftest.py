@@ -1,0 +1,26 @@
+"""Test harness: CPU backend, f64, 8 virtual devices for sharding tests.
+
+The fake-backend strategy (SURVEY.md §4.4): XLA_FLAGS host-device-count
+gives an 8-device CPU mesh so every distributed code path is exercised
+without a TPU pod.  Must run before the first jax backend initialization.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual CPU devices")
+    return devs[:8]
