@@ -175,6 +175,7 @@ class RunConfig:
     dtype: str = "float64"        # "float64" (validation) | "float32" (perf)
     lattice: str = "D3Q27"
     use_pallas: bool = False      # fused Pallas collide path
+    fft_method: str = "auto"      # "auto" | "fft" | "matmul" (MXU DFT)
     perturb_first_step: bool = False  # seed square convection pattern
     LL: float = 0.5               # perturbation wavelength ratio (LBM.h:39)
     outdir: str = "out"

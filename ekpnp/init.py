@@ -56,13 +56,13 @@ def cold_fields(cfg: Config, dtype) -> InitFields:
     return InitFields(rho, u, charge, chargen, phi, E, temp)
 
 
-def initialize(cfg: Config, dtype=None) -> tuple[State, Macro]:
+def initialize(cfg: Config, dtype=None, mesh=None) -> tuple[State, Macro]:
     """Full cold start: cold fields, PB double-layer loop (if EK), then
     equilibrium populations.  Pure; jit-compatible."""
     dtype = jnp.dtype(dtype or cfg.run.dtype)
     fields = cold_fields(cfg, dtype)
     if cfg.physics.enable_ek:
-        phi, charge, chargen, E = pb_init(cfg, fields.phi)
+        phi, charge, chargen, E = pb_init(cfg, fields.phi, mesh)
         fields = fields._replace(phi=phi, charge=charge, chargen=chargen, E=E)
     macro = Macro(
         rho=fields.rho,

@@ -35,7 +35,7 @@ def boltzmann_closure(cfg: Config, phi):
     return c, cn
 
 
-def pb_init(cfg: Config, phi0):
+def pb_init(cfg: Config, phi0, mesh=None):
     """Run the PB relaxation loop; returns (phi, charge, chargen, E)."""
     p = cfg.physics
     dtype = phi0.dtype
@@ -47,7 +47,7 @@ def pb_init(cfg: Config, phi0):
     def body(_, carry):
         phi, _, _, _ = carry
         c, cn = boltzmann_closure(cfg, phi)
-        phi_solved, E = poisson_solve(cfg, c, cn)
+        phi_solved, E = poisson_solve(cfg, c, cn, mesh)
         phi_new = omega * phi_solved + (1.0 - omega) * phi
         return (phi_new, c, cn, E)
 

@@ -84,8 +84,13 @@ def odd_extension(cfg: Config, charge, chargen):
     return jnp.concatenate([top, mirror], axis=0)
 
 
-def poisson_solve(cfg: Config, charge, chargen):
-    """One potential solve: (c+, c-) -> (phi, E).  All on device, one jit."""
+def poisson_solve(cfg: Config, charge, chargen, mesh=None):
+    """One potential solve: (c+, c-) -> (phi, E).  All on device, one jit.
+
+    With a mesh, the 3D transform runs as a distributed pencil FFT
+    (parallel/fft.py) with all-to-all repartitions between 1D stages."""
+    from ..parallel.fft import fft3
+
     g = cfg.grid
     p = cfg.physics
     dtype = charge.dtype
@@ -93,9 +98,17 @@ def poisson_solve(cfg: Config, charge, chargen):
     ext = odd_extension(cfg, charge, chargen)
     mu = jnp.asarray(minus_laplacian_symbol(cfg, np.float64), dtype)
 
-    spec = jnp.fft.fftn(ext, axes=(0, 1, 2))
+    method = None if cfg.run.fft_method == "auto" else cfg.run.fft_method
+    spec = fft3(ext, mesh, method=method)
     spec = spec / (-mu)
-    phi_ext = jnp.fft.ifftn(spec, axes=(0, 1, 2))
+    # The DC mode of the odd-extended RHS is exactly zero by symmetry; the
+    # reference relies on that cancellation (pinning mu(0,0,0)=1 and passing
+    # the coefficient through, poisson.cu:177).  In f32 the +-voltage/dz^2
+    # boundary terms (~5e13) leave O(1e7) summation noise in the DC bin,
+    # which mu=1 would turn into an O(100) constant offset in phi — so zero
+    # it explicitly (mathematically identical, numerically stable).
+    spec = spec.at[0, 0, 0].set(0.0)
+    phi_ext = fft3(spec, mesh, inverse=True, method=method)
 
     phi = jnp.real(phi_ext[: g.nz]).astype(dtype)
     phi = phi.at[0].set(dtype.type(p.voltage))

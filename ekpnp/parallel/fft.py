@@ -1,0 +1,117 @@
+"""Distributed 3D Fourier transform for the Poisson solve.
+
+The reference's single-device `cufftPlan3d` (main.cu:112) becomes a
+separable transform with two interchangeable backends:
+
+  - "fft":    `jnp.fft` per axis — exact n log n, used on a single CPU
+    device (f64 validation path).
+  - "matmul": DFT as einsum against a precomputed (n, n) DFT matrix — the
+    TPU-native path.  Each 1D transform is one complex matmul on the MXU;
+    at the solver's extents (<= 512) the extra O(n) flops are far below the
+    HBM-bound collide cost, and the op shards cleanly under GSPMD (the XLA
+    SPMD partitioner miscompiles partitioned FFT ops with c128 operands —
+    a hardcoded c64 scaling constant — so the matmul path is also the
+    correctness workaround for distributed runs).
+
+Sharded layouts: 1D transforms only ever run along *unsharded* axes;
+`with_sharding_constraint` repartitions between stages make XLA insert the
+all-to-all transposes that rotate the sharded axis (the Ulysses-shaped
+pattern, SURVEY.md §5):
+
+  slab ("y",):        P(None, y, None)  --T(z), T(x)-->  P(y, None, None)
+                      --T(y)-->  back to P(None, y, None)
+  pencil ("y", "x"):  P(None, y, x)  --T(z)-->  P(x, y, None)  --T(x)-->
+                      P(x, None, y)  --T(y)-->  back to P(None, y, x)
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@lru_cache(maxsize=None)
+def _dft_matrix(n: int, inverse: bool, f64: bool):
+    """W[j, k] = exp(-+ 2 pi i j k / n) (ifft includes the 1/n)."""
+    j = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    sign = 2.0j if inverse else -2.0j
+    w = np.exp(sign * np.pi * j * k / n)
+    if inverse:
+        w /= n
+    return w.astype(np.complex128 if f64 else np.complex64)
+
+
+def _apply_dft(a, axis: int, inverse: bool):
+    f64 = a.dtype in (jnp.float64, jnp.complex128)
+    w = jnp.asarray(_dft_matrix(a.shape[axis], inverse, f64))
+    a = jnp.moveaxis(a, axis, 0)
+    # HIGHEST precision: TPU otherwise lowers the complex matmul to bf16,
+    # which destroys the boundary-term cancellation in the Poisson RHS.
+    out = jnp.tensordot(w, a, axes=([1], [0]), precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _transform(a, axis: int, inverse: bool, method: str):
+    if method == "fft":
+        return (jnp.fft.ifft if inverse else jnp.fft.fft)(a, axis=axis)
+    return _apply_dft(a, axis, inverse)
+
+
+def default_method(mesh: Optional[Mesh]) -> str:
+    multi = mesh is not None and mesh.devices.size > 1
+    if multi:
+        return "matmul"
+    return "fft" if jax.default_backend() == "cpu" else "matmul"
+
+
+def _cs(a, mesh: Mesh, spec: P):
+    return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+
+def _check(extent: int, mesh: Mesh, axis: str, what: str):
+    n = mesh.shape[axis]
+    if extent % n:
+        raise ValueError(
+            f"{what} extent {extent} must divide mesh '{axis}' size {n} for the "
+            f"pencil FFT (choose NZ = 2^k + 1 / power-of-two NX, NY)"
+        )
+
+
+def fft3(a, mesh: Optional[Mesh] = None, inverse: bool = False, method: Optional[str] = None):
+    """3D transform of (NE, NY, NX); distributed when a mesh is given."""
+    method = method or default_method(mesh)
+    if mesh is None or mesh.devices.size == 1:
+        if method == "fft":
+            return (jnp.fft.ifftn if inverse else jnp.fft.fftn)(a, axes=(0, 1, 2))
+        for ax in (0, 1, 2):
+            a = _transform(a, ax, inverse, method)
+        return a
+
+    ne, ny, nx = a.shape
+    pencil = "x" in mesh.axis_names
+    _check(ne, mesh, "y", "extended z")
+    if pencil:
+        _check(ne, mesh, "x", "extended z")
+        _check(nx, mesh, "y", "x")
+
+    if not pencil:
+        # slab: z and x are local
+        a = _cs(a, mesh, P(None, "y", None))
+        a = _transform(a, 0, inverse, method)
+        a = _transform(a, 2, inverse, method)
+        a = _cs(a, mesh, P("y", None, None))   # all-to-all: y -> z
+        a = _transform(a, 1, inverse, method)
+        return _cs(a, mesh, P(None, "y", None))
+
+    a = _cs(a, mesh, P(None, "y", "x"))
+    a = _transform(a, 0, inverse, method)       # z local
+    a = _cs(a, mesh, P("x", "y", None))         # all-to-all: x -> z
+    a = _transform(a, 2, inverse, method)       # x local
+    a = _cs(a, mesh, P("x", None, "y"))         # all-to-all: y -> x
+    a = _transform(a, 1, inverse, method)       # y local
+    return _cs(a, mesh, P(None, "y", "x"))

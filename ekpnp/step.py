@@ -25,7 +25,7 @@ from .ops.stream import stream
 from .state import Macro, State
 
 
-def step(cfg: Config, state: State, perturb: bool = False) -> tuple[State, Macro]:
+def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[State, Macro]:
     p = cfg.physics
     lat = cfg.lattice
 
@@ -43,7 +43,7 @@ def step(cfg: Config, state: State, perturb: bool = False) -> tuple[State, Macro
         hn1 = stream(lat, post.hn)
         h1 = scalar_wall_bcs(cfg, h1, post.h, "noflux")
         hn1 = scalar_wall_bcs(cfg, hn1, post.hn, "noflux")
-        phi, E = poisson_solve(cfg, macro.charge, macro.chargen)
+        phi, E = poisson_solve(cfg, macro.charge, macro.chargen, mesh)
 
     if p.enable_thermal:
         g1 = stream(lat, post.g)

@@ -1,0 +1,70 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md §4.4).
+
+Single-chip vs N-chip equality: identical initial state stepped on one
+device and on a slab/pencil mesh must agree to f64 roundoff (reduction
+order may differ inside collectives)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekpnp import preset
+from ekpnp.init import initialize
+from ekpnp.parallel import mesh as pmesh
+from ekpnp.step import step
+
+
+@pytest.mark.parametrize("pencil", [False, True])
+def test_single_vs_multichip_equality(eight_devices, pencil):
+    cfg = preset("reference", nx=16, ny=8, nz=17, fft_method="matmul")
+    state, _ = initialize(cfg)
+
+    # single device, 3 steps (same spectral backend as the sharded run)
+    s1 = state
+    for _ in range(3):
+        s1, m1 = step(cfg, s1)
+
+    # 8 virtual devices, same program
+    m = pmesh.make_mesh(eight_devices, pencil=pencil)
+    sharded = pmesh.shard_state(cfg, m, state)
+    step_fn = pmesh.make_sharded_step(cfg, m)
+    s8 = sharded
+    for _ in range(3):
+        s8, m8 = step_fn(s8)
+
+    # E = grad(phi)/(2 dz) amplifies phi roundoff by 1/dz = 1e8: collective
+    # reduction order shifts phi by ~1e-18, i.e. E by ~1e-10 absolute.
+    tols = dict(atol=1e-14, rtol=1e-12)
+    e_tols = dict(atol=1e-8, rtol=1e-12)
+    for a, b, name in [
+        (s1.f, s8.f, "f"),
+        (s1.h, s8.h, "h"),
+        (s1.hn, s8.hn, "hn"),
+        (s1.g, s8.g, "g"),
+        (s1.phi, s8.phi, "phi"),
+        (s1.E, s8.E, "E"),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.asarray(b),
+            err_msg=name,
+            **(e_tols if name == "E" else tols),
+        )
+
+
+def test_sharded_multi_step_runs(eight_devices):
+    cfg = preset("reference", nx=16, ny=8, nz=17)
+    state, _ = initialize(cfg)
+    m = pmesh.make_mesh(eight_devices)
+    sharded = pmesh.shard_state(cfg, m, state)
+    run = pmesh.make_sharded_multi_step(cfg, m, 5)
+    out = run(sharded)
+    assert np.isfinite(np.asarray(out.f)).all()
+
+
+def test_indivisible_mesh_rejected(eight_devices):
+    cfg = preset("reference", nx=16, ny=12, nz=17)
+    m = pmesh.make_mesh(eight_devices)
+    state, _ = initialize(cfg)
+    with pytest.raises(ValueError, match="not divisible"):
+        pmesh.shard_state(cfg, m, state)
