@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--mode", choices=["coupled", "fluid"], default="coupled")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--pallas", action="store_true", default=None)
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +58,8 @@ def main():
                 fft_method="matmul" if backend != "cpu" else "auto",
                 enable_ek=ek,
                 enable_thermal=ek,
-                **({} if args.pallas is None else {"use_pallas": args.pallas}),
+                use_pallas=(args.pallas if args.pallas is not None
+                            else backend != "cpu" and n % 128 == 0),
             )
             dtype = jnp.dtype(args.dtype)
             shape = cfg.grid.shape

@@ -1,0 +1,52 @@
+"""Timestep built on the fused Pallas kernel.
+
+Same semantics as ekpnp.step.step (the jnp oracle), but collide + boundary
++ stream + scalar wall BCs all happen inside one kernel, and the Poisson
+solve consumes the kernel-emitted pre-collision ion moments.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.poisson import poisson_solve
+from ..state import State
+from .fused_step import build_fused_step
+
+
+@lru_cache(maxsize=None)
+def _get_fused(cfg: Config, dtype_name: str, interpret: bool, ty: int):
+    return build_fused_step(
+        cfg, dtype=jnp.dtype(dtype_name), interpret=interpret, ty_override=ty
+    )
+
+
+def step_pallas(cfg: Config, state: State, mesh=None, interpret: bool = False,
+                ty_override: int = 0):
+    """One fused timestep.  Returns (state', (charge, chargen)) — the ion
+    moments are this step's pre-collision macro fields (what the reference
+    stores in collide and feeds to fast_Poisson)."""
+    p = cfg.physics
+    fused = _get_fused(cfg, state.f.dtype.name, interpret, ty_override)
+    f1, h1, hn1, g1, c, cn = fused(state.f, state.h, state.hn, state.g, state.E)
+    phi, E = state.phi, state.E
+    if p.enable_ek:
+        phi, E = poisson_solve(cfg, c, cn, mesh)
+    dt = state.t.dtype.type(p.dt(cfg.grid.dx))
+    return (
+        State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, E=E, t=state.t + dt),
+        (c, cn),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
+def multi_step_pallas(cfg: Config, state: State, n: int) -> State:
+    def body(carry, _):
+        new, _ = step_pallas(cfg, carry)
+        return new, None
+
+    state, _ = jax.lax.scan(body, state, None, length=n)
+    return state

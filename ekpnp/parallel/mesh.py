@@ -120,10 +120,24 @@ def shard_state(cfg, mesh: Mesh, state: State) -> State:
     )
 
 
+def _gspmd_cfg(cfg):
+    """The GSPMD path partitions pure XLA ops; the Pallas kernel is an
+    opaque custom call to it, so force the jnp step under meshes (the
+    shard_map + Pallas halo path is the dedicated multi-chip fast path)."""
+    import dataclasses
+
+    if not cfg.run.use_pallas:
+        return cfg
+    return dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, use_pallas=False)
+    )
+
+
 def make_sharded_step(cfg, mesh: Mesh):
     """jit-compiled step with explicit in/out shardings (GSPMD path)."""
     from ..step import step
 
+    cfg = _gspmd_cfg(cfg)
     check_divisibility(cfg, mesh)
     st_sh = state_shardings(cfg, mesh)
     mac_sh = macro_shardings(cfg, mesh)
@@ -139,6 +153,7 @@ def make_sharded_multi_step(cfg, mesh: Mesh, n: int):
     """n fused steps under one jit with stable shardings."""
     from ..step import step
 
+    cfg = _gspmd_cfg(cfg)
     check_divisibility(cfg, mesh)
     st_sh = state_shardings(cfg, mesh)
 

@@ -26,6 +26,12 @@ from .state import Macro, State
 
 
 def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[State, Macro]:
+    if cfg.run.use_pallas and not perturb:
+        from .pallas.step import step_pallas
+
+        new, _ = step_pallas(cfg, state, mesh=mesh)
+        return new, None
+
     p = cfg.physics
     lat = cfg.lattice
 

@@ -1,0 +1,73 @@
+"""Fused Pallas kernel vs the jnp oracle (interpret mode, CPU, f64).
+
+The jnp path is the validated correctness oracle (analytic physics tests);
+the fused kernel must reproduce it bit-for-bit up to op-reordering roundoff.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekpnp import preset
+from ekpnp.init import initialize
+from ekpnp.pallas.step import step_pallas
+from ekpnp.step import step
+
+
+def _compare(cfg, steps=2, ty=0, atol_E=1e-8):
+    state, _ = initialize(cfg)
+    s_ref = state
+    s_pal = state
+    for _ in range(steps):
+        s_ref, _ = step(cfg, s_ref)
+        s_pal, _ = step_pallas(cfg, s_pal, interpret=True, ty_override=ty)
+    for name in ("f", "h", "hn", "g", "phi"):
+        a, b = getattr(s_ref, name), getattr(s_pal, name)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13, err_msg=name
+        )
+    if s_ref.E is not None:
+        np.testing.assert_allclose(
+            np.asarray(s_ref.E), np.asarray(s_pal.E), rtol=1e-11, atol=atol_E,
+            err_msg="E",
+        )
+
+
+def test_fused_full_coupled_single_strip():
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul")
+    _compare(cfg)
+
+
+def test_fused_full_coupled_multi_strip():
+    # JY = 4 strips exercises the y-halo wrap DMAs
+    cfg = preset("reference", nx=16, ny=16, nz=9, fft_method="matmul")
+    _compare(cfg, ty=4)
+
+
+def test_fused_fluid_only():
+    cfg = preset(
+        "reference", nx=16, ny=8, nz=9, enable_ek=False, enable_thermal=False,
+        exf=1.0e6,
+    )
+    _compare(cfg, steps=3)
+
+
+def test_fused_fluid_thermal():
+    cfg = preset("reference", nx=16, ny=8, nz=9, enable_ek=False)
+    _compare(cfg, steps=3)
+
+
+def test_fused_moving_wall():
+    cfg = preset(
+        "reference", nx=16, ny=8, nz=9, enable_ek=False, enable_thermal=False,
+        uw=0.5,
+    )
+    _compare(cfg, steps=3)
+
+
+def test_fused_longer_run_stability():
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul")
+    _compare(cfg, steps=6)
