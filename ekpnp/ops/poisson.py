@@ -84,7 +84,71 @@ def odd_extension(cfg: Config, charge, chargen):
     return jnp.concatenate([top, mirror], axis=0)
 
 
+def dst_symbol(cfg: Config, dtype=np.float64):
+    """mu(m, ky, kx) for the DST-I form: same modified wavenumber as the
+    odd-extension FFT (gpu_derivative, poisson.cu:169-180) restricted to the
+    sine modes m = 1..NZ-2 — the k=0 plane (whose exact cancellation the
+    reference relies on) structurally does not exist here."""
+    g = cfg.grid
+    kx, ky, _ = wavenumbers(cfg, dtype)
+    m = np.arange(1, g.nz - 1, dtype=dtype)
+    sz = (4.0 / g.dz**2) * np.sin(np.pi * m / g.ne) ** 2
+    return sz[:, None, None] + (ky * ky)[None, :, None] + (kx * kx)[None, None, :]
+
+
+def interior_rhs(cfg: Config, charge, chargen):
+    """RHS rows z = 1..NZ-2 with the Dirichlet plate folds (the top half of
+    odd_extension, poisson.cu:118-137)."""
+    p = cfg.physics
+    g = cfg.grid
+    dtype = charge.dtype
+    inv_dz2 = dtype.type(1.0 / (g.dz * g.dz))
+    kappa = dtype.type(p.convert_c_to_charge / p.eps)
+    rhs = -kappa * (charge[1:-1] - chargen[1:-1])
+    rhs = rhs.at[0].add(-dtype.type(p.voltage) * inv_dz2)
+    rhs = rhs.at[-1].add(-dtype.type(p.voltage2) * inv_dz2)
+    return rhs
+
+
+def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
+    """Reduced solve: DST-I in z (real MXU matmul over NZ-2 rows — a quarter
+    of the odd-extended FFT work) + 2D FFT in x,y on half the volume.
+    Mathematically identical to the odd-extension path."""
+    from ..parallel.fft import dst_z, fft2_xy
+
+    g = cfg.grid
+    p = cfg.physics
+    dtype = charge.dtype
+
+    rhs = interior_rhs(cfg, charge, chargen)
+    mu = jnp.asarray(dst_symbol(cfg, np.float64), dtype)
+
+    method = None if cfg.run.fft_method == "auto" else cfg.run.fft_method
+    if method == "dst":
+        method = None
+    s_z = dst_z(rhs)
+    spec = fft2_xy(s_z, mesh, method=method)
+    spec = spec / (-mu)
+    back = jnp.real(fft2_xy(spec, mesh, inverse=True, method=method)).astype(dtype)
+    # inverse DST-I normalization: x = (2/(NZ-1)) B X = (4/NE) B X
+    phi_int = dtype.type(4.0 / g.ne) * dst_z(back)
+
+    wall_lo = jnp.full((1,) + g.shape[1:], p.voltage, dtype)
+    wall_hi = jnp.full((1,) + g.shape[1:], p.voltage2, dtype)
+    phi = jnp.concatenate([wall_lo, phi_int, wall_hi], axis=0)
+    return phi, efield(cfg, phi)
+
+
 def poisson_solve(cfg: Config, charge, chargen, mesh=None):
+    if cfg.run.fft_method in ("dst", "auto"):
+        import jax as _jax
+
+        if cfg.run.fft_method == "dst" or _jax.default_backend() != "cpu":
+            return poisson_solve_dst(cfg, charge, chargen, mesh)
+    return _poisson_solve_ext(cfg, charge, chargen, mesh)
+
+
+def _poisson_solve_ext(cfg: Config, charge, chargen, mesh=None):
     """One potential solve: (c+, c-) -> (phi, E).  All on device, one jit.
 
     With a mesh, the 3D transform runs as a distributed pencil FFT

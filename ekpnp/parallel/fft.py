@@ -115,3 +115,52 @@ def fft3(a, mesh: Optional[Mesh] = None, inverse: bool = False, method: Optional
     a = _cs(a, mesh, P("x", None, "y"))         # all-to-all: y -> x
     a = _transform(a, 1, inverse, method)       # y local
     return _cs(a, mesh, P(None, "y", "x"))
+
+
+# ---------------------------------------------------------------------------
+# DST-I z-transform + 2D x,y FFT: the reduced form of the odd-extension solve
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _dst1_matrix(n: int, f64: bool):
+    """DST-I matrix B[m-1, z-1] = sin(pi m z / (n+1)), m,z = 1..n.
+    Self-inverse up to a factor (n+1)/2."""
+    mz = np.arange(1, n + 1)
+    B = np.sin(np.pi * mz[:, None] * mz[None, :] / (n + 1))
+    return B.astype(np.float64 if f64 else np.float32)
+
+
+def dst_z(a):
+    """Apply DST-I along axis 0 of (NZI, NY, NX) real data — one real MXU
+    matmul (the TPU-native form of the reference's odd-extension FFT in z,
+    poisson.cu:114-158 + cufft z-transform)."""
+    f64 = a.dtype == jnp.float64
+    B = jnp.asarray(_dst1_matrix(a.shape[0], f64))
+    return jnp.tensordot(B, a, axes=([1], [0]),
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def fft2_xy(a, mesh: Optional[Mesh] = None, inverse: bool = False,
+            method: Optional[str] = None):
+    """2D transform along (y, x) of (NZI, NY, NX); z stays local (its extent
+    NZ-2 is never mesh-divisible).  Distributed: reshard the transform axis
+    onto the other mesh axes so each 1D stage is local."""
+    method = method or default_method(mesh)
+    if mesh is None or mesh.devices.size == 1:
+        for ax in (1, 2):
+            a = _transform(a, ax, inverse, method)
+        return a
+
+    pencil = "x" in mesh.axis_names
+    if not pencil:
+        a = _cs(a, mesh, P(None, "y", None))
+        a = _transform(a, 2, inverse, method)   # x local
+        a = _cs(a, mesh, P(None, None, "y"))    # all-to-all: y -> x
+        a = _transform(a, 1, inverse, method)   # y local
+        return _cs(a, mesh, P(None, "y", None))
+
+    a = _cs(a, mesh, P(None, ("y", "x"), None))  # gather x onto y-dim
+    a = _transform(a, 2, inverse, method)        # x local
+    a = _cs(a, mesh, P(None, None, ("y", "x")))  # swap: y -> x-dim
+    a = _transform(a, 1, inverse, method)        # y local
+    return _cs(a, mesh, P(None, "y", "x"))

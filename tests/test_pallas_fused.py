@@ -42,9 +42,9 @@ def test_fused_full_coupled_single_strip():
 
 
 def test_fused_full_coupled_multi_strip():
-    # JY = 4 strips exercises the y-halo wrap DMAs
-    cfg = preset("reference", nx=16, ny=16, nz=9, fft_method="matmul")
-    _compare(cfg, ty=4)
+    # JY = 4 strips exercises the first/interior/last window DMA cases
+    cfg = preset("reference", nx=16, ny=32, nz=9, fft_method="matmul")
+    _compare(cfg, ty=8)
 
 
 def test_fused_fluid_only():
