@@ -111,9 +111,16 @@ def save_reference_ascii(path: str, cfg: Config, macro: Macro, phi, E, t: float)
         ],
         axis=1,
     )
+    try:
+        from . import native
+
+        body = native.format_table(cols)
+    except Exception:
+        body = "".join(
+            " ".join(f"{v:10.6f}" for v in row) + "\n" for row in cols
+        )
     with open(path, "w") as f:
-        for row in cols:
-            f.write(" ".join(f"{v:10.6f}" for v in row) + "\n")
+        f.write(body)
 
 
 def load_reference_ascii(path: str, cfg: Config) -> State:
@@ -121,7 +128,15 @@ def load_reference_ascii(path: str, cfg: Config) -> State:
     import jax.numpy as jnp
 
     g = cfg.grid
-    data = np.loadtxt(path)
+    try:
+        from . import native
+
+        with open(path) as f:
+            data = native.parse_table(f.read(), g.num_nodes, 12)
+    except ValueError:
+        raise
+    except Exception:
+        data = np.loadtxt(path)
     if data.shape != (g.num_nodes, 12):
         raise ValueError(f"expected {(g.num_nodes, 12)} table, got {data.shape}")
     t = float(data[0, 0])

@@ -1,0 +1,71 @@
+"""Native C++ I/O layer (native/ekio.cpp via ekpnp.io.native).
+
+Checks byte-exact parity with the pure-Python formatters that mirror the
+reference's stdio formats (tecplot body LBM.cu:2555-2562, data_end table
+LBM.cu:2613-2624), and the fast parser against np.loadtxt.
+"""
+import numpy as np
+import pytest
+
+native = pytest.importorskip("ekpnp.io.native")
+
+
+def test_tecplot_format_parity():
+    rng = np.random.default_rng(42)
+    n = 2000
+    scales = 10.0 ** rng.integers(-8, 8, size=n)
+    cols = [rng.standard_normal(n) * scales for _ in range(14)]
+    cols[0][:3] = [0.0, -0.0, 1e-300]
+    body = native.format_tecplot(cols)
+    rows = body.split("\n")
+    data = np.stack(cols, axis=1)
+    for i in range(n):
+        ref = (
+            "%g %g %g %g %g %g %g %g %10.6f %10.6f %10.6f %10.6f %10.6f %10.6f"
+            % tuple(data[i])
+        )
+        assert rows[i] == ref, f"row {i}"
+    assert rows[n] == ""  # trailing newline
+
+
+def test_table_format_and_parse_roundtrip():
+    rng = np.random.default_rng(7)
+    cols = [rng.standard_normal(300) * s for s in [1, 1e-3, 1e3] * 4]
+    body = native.format_table(cols)
+    tab = np.stack(cols, axis=1)
+    assert body.split("\n")[5] == " ".join(f"{v:10.6f}" for v in tab[5])
+    parsed = native.parse_table(body, 300, 12)
+    np.testing.assert_allclose(parsed, np.round(tab, 6), atol=1e-9)
+    ref = np.loadtxt(body.splitlines())
+    np.testing.assert_array_equal(parsed, ref)
+
+
+def test_parse_count_mismatch_raises():
+    with pytest.raises(ValueError):
+        native.parse_table("1.0 2.0\n3.0\n", 2, 2)
+
+
+def test_checkpoint_ascii_uses_native(tmp_path):
+    """End-to-end: reference-layout checkpoint writes+reads through the
+    native path and restores bit-identical macroscopic fields (to the
+    10^-6 ASCII rounding the reference itself has)."""
+    from ekpnp import preset
+    from ekpnp.init import initialize
+    from ekpnp.io.checkpoint import load_reference_ascii, save_reference_ascii
+
+    cfg = preset("reference", nx=8, ny=8, nz=9)
+    state, macro = initialize(cfg)
+    phi, E = state.phi, state.E
+    p = tmp_path / "data_end.dat"
+    save_reference_ascii(str(p), cfg, macro, phi, E, t=1.5e-9)
+    st = load_reference_ascii(str(p), cfg)
+    # populations were re-equilibrated; zeroth moments restore the macros
+    rho = np.asarray(st.f.sum(axis=0))
+    charge = np.asarray(st.h.sum(axis=0))
+    from ekpnp.diagnostics import wall_extrapolate
+
+    rho_ref = np.asarray(wall_extrapolate(macro.rho))
+    ch_ref = np.asarray(wall_extrapolate(macro.charge))
+    np.testing.assert_allclose(rho[1:-1], rho_ref[1:-1], atol=2e-6)
+    np.testing.assert_allclose(charge[1:-1], ch_ref[1:-1], atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st.phi), np.asarray(phi), atol=2e-6)
