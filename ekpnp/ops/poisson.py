@@ -111,10 +111,12 @@ def interior_rhs(cfg: Config, charge, chargen):
 
 
 def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
-    """Reduced solve: DST-I in z (real MXU matmul over NZ-2 rows — a quarter
-    of the odd-extended FFT work) + 2D FFT in x,y on half the volume.
-    Mathematically identical to the odd-extension path."""
-    from ..parallel.fft import dst_z, fft2_xy
+    """Reduced solve, all-real transforms: DST-I in z (real MXU matmul over
+    NZ-2 rows — a quarter of the odd-extended FFT work) + real Hartley
+    transform in x,y (the symbol is even in kx and ky, so Hartley filtering
+    equals DFT filtering at 1/4 the matmul work).  Mathematically identical
+    to the reference's odd-extension complex FFT (poisson.cu:75-103)."""
+    from ..parallel.fft import dst_z, fft2_xy, hartley2_xy
 
     g = cfg.grid
     p = cfg.physics
@@ -127,9 +129,15 @@ def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
     if method == "dst":
         method = None
     s_z = dst_z(rhs)
-    spec = fft2_xy(s_z, mesh, method=method)
-    spec = spec / (-mu)
-    back = jnp.real(fft2_xy(spec, mesh, inverse=True, method=method)).astype(dtype)
+    if method != "fft":
+        # real path: cas-basis transform on the MXU, self-inverse up to NY*NX
+        spec = hartley2_xy(s_z, mesh)
+        spec = spec / (-mu)
+        back = (hartley2_xy(spec, mesh) / dtype.type(g.ny * g.nx)).astype(dtype)
+    else:
+        spec = fft2_xy(s_z, mesh, method=method)
+        spec = spec / (-mu)
+        back = jnp.real(fft2_xy(spec, mesh, inverse=True, method=method)).astype(dtype)
     # inverse DST-I normalization: x = (2/(NZ-1)) B X = (4/NE) B X
     phi_int = dtype.type(4.0 / g.ne) * dst_z(back)
 

@@ -1,0 +1,618 @@
+"""Fused collide-stream Pallas TPU kernel — the roofline path.
+
+One kernel performs, per timestep, what the reference does in four separate
+global-memory passes (gpu_collide_save + gpu_boundary + gpu_stream +
+gpu_bc_charge, LBM.cu:465-481): the state is read from HBM once and the
+fully-streamed next state written once (~2 passes vs the reference's 4).
+
+Design — a sequential z-pipeline over y-strips, grid = (NY/TY, NZ+1):
+
+  step s < NZ   DMA-in one contiguous window [y0-8, y0+TY+8) of every
+                population plane (+E) — halo rows live inside the window,
+                so interior strips need a single DMA per field (edge strips
+                add one wrap DMA);
+                collide once (moments -> force -> u -> feq -> TRT + Guo)
+                and store the post-collision plane in a 3-slot rotating
+                VMEM buffer.  At s==1 both planes 1 and 0 are collided:
+                the z=0 wall node's velocity extrapolation needs plane 1's
+                moments (reference LBM.cu:663-801).  Bounce-back replaces
+                the wall planes' fluid slot right after collision
+                (reference gpu_boundary semantics: reflected *pre-collision*
+                populations, LBM.cu:1848-1961).
+  step s >= 2   emit output plane e = s-1, fully streamed: the z-shift is
+                slot selection (e - ez[d]), the y-shift a static row offset
+                into the halo, the x-shift a lane roll.  Interior emits are
+                double-buffered and asynchronous (waited two steps later);
+                wall-plane emits — ion no-flux and temperature
+                anti-bounce-back as whole-plane slot reflections (reference
+                gpu_bc_charge, LBM.cu:2095-2416) and the fluid's periodic
+                z-wrap (reference LBM.cu:1970-1975) — use a dedicated
+                synchronous buffer.
+
+The kernel also emits the pre-collision ion moments (c+, c-) per plane —
+the Poisson solve consumes them directly, so no separate moment pass ever
+touches HBM.
+
+Alignment rules learned from Mosaic: every DMA ref slice must start at a
+sublane-tile-aligned row when NX spans more than one lane tile, so all
+windows start at multiples of 8 and all row selection happens in value
+space.  Requires NY % 8 == 0 and TY % 8 == 0.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Config
+
+HALO = 8  # aligned halo block height; row 7 is y0-1, row TY+8 is y0+TY
+
+
+def _pick_ty(cfg, nfields: int, vmem_budget=30 * 1024 * 1024):
+    """Largest strip height TY (multiple of 8) dividing NY that fits VMEM."""
+    g = cfg.grid
+    for ty in (64, 32, 16, 8):
+        if g.ny % ty:
+            continue
+        win = 27 * (ty + 16) * g.nx * 4
+        plane = 27 * (ty + 2) * g.nx * 4
+        need = nfields * (3 * win + 3 * plane + 3 * 27 * ty * g.nx * 4) + plane
+        if need < vmem_budget:
+            return ty
+    return None
+
+
+def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
+                     ty_override: int = 0):
+    """Returns fn(f, h, hn, g, E) -> (f1, h1, hn1, g1, c, cn)."""
+    lat = cfg.lattice
+    if lat.Q != 27:
+        raise ValueError("fused kernel supports D3Q27 only")
+    g = cfg.grid
+    p = cfg.physics
+    NZ, NY, NX = g.shape
+    if NZ < 4:
+        raise ValueError("fused kernel needs NZ >= 4")
+    if NY % 8:
+        raise ValueError("fused kernel requires NY % 8 == 0")
+
+    ek = p.enable_ek
+    thermal = p.enable_thermal
+    nf = 1 + (2 if ek else 0) + (1 if thermal else 0)
+
+    TY = ty_override or _pick_ty(cfg, nf)
+    if TY is None or NY % TY or TY % 8:
+        raise ValueError("no valid y-strip size (needs TY % 8 == 0 dividing NY)")
+    R = TY + 2           # logical rows [y0-1, y0+TY]
+    WROWS = TY + 16      # DMA window rows [y0-8, y0+TY+8)
+    JY = NY // TY
+
+    # ---- static lattice/physics constants -------------------------------
+    E_ = [tuple(int(v) for v in lat.E[d]) for d in range(27)]
+    W_ = [float(w) for w in lat.W]
+    OPP = [int(o) for o in lat.OPP]
+    dt = p.dt(g.dx)
+    cs2 = cfg.cs2
+    cfl = p.cfl
+    om = p.omegas(g.dx)
+    inv_cfl = 1.0 / cfl
+    inv_cs2 = 1.0 / cs2
+    t_scale = inv_cs2 * inv_cfl
+    kappa = p.convert_c_to_charge
+    buoy = p.rho0 * p.Ra * p.nu * p.D
+    mw_coef = 2.0 * p.rho0 * p.uw * inv_cs2 * inv_cfl
+    dtype = jnp.dtype(dtype)
+    cst = dtype.type
+
+    om_p = {
+        "f": (om["omega_plus"] * dt, om["omega_minus"] * dt),
+        "h": (om["omega_c_plus"] * dt, om["omega_c_minus"] * dt),
+        "hn": (om["omega_cn_plus"] * dt, om["omega_cn_minus"] * dt),
+        "g": (om["omega_T_plus"] * dt, om["omega_T_minus"] * dt),
+    }
+    s_plus = 1.0 - 0.5 * dt * om["omega_plus"]
+    s_minus = 1.0 - 0.5 * dt * om["omega_minus"]
+
+    n_in = nf + (1 if ek else 0)
+
+    def kernel(*refs):
+        idx = 0
+        in_pop = refs[idx : idx + nf]; idx += nf
+        in_E = refs[idx] if ek else None; idx += 1 if ek else 0
+        out_pop = refs[idx : idx + nf]; idx += nf
+        out_ccn = refs[idx] if ek else None; idx += 1 if ek else 0
+        buf_in = refs[idx : idx + nf]; idx += nf
+        buf_E = refs[idx] if ek else None; idx += 1 if ek else 0
+        slot_pop = refs[idx : idx + nf]; idx += nf
+        f_pin = refs[idx]; idx += 1
+        emit_pop = refs[idx : idx + nf]; idx += nf       # (2, 27, TY, NX)
+        wall_buf = refs[idx]; idx += 1                   # (27, TY, NX)
+        cmom = refs[idx] if ek else None; idx += 1 if ek else 0
+        sem_in = refs[idx]; idx += 1                     # (3, n_in, 3)
+        sem_emit = refs[idx]; idx += 1                   # (nf, 2)
+        sem_wall = refs[idx]; idx += 1                   # (2,)
+
+        j = pl.program_id(0)
+        s = pl.program_id(1)
+        y0 = pl.multiple_of(j * TY, 8)
+
+        # ------------------------------------------------ input DMA
+        def _case_copies(case, plane, slot):
+            """Copy descriptors for the [y0-8, y0+TY+8) row window, built
+            only for the selected strip case (unused descriptors are
+            rejected by Pallas).  Each piece maps source rows [sa, sa+n) of
+            the plane to window rows [da, da+n)."""
+            ym = pl.multiple_of(y0 - HALO, 8)
+            if case == "single":      # JY == 1: wraps both ends
+                pieces = [(NY - HALO, 0, HALO), (0, HALO, TY), (0, TY + HALO, HALO)]
+            elif case == "interior":
+                pieces = [(ym, 0, WROWS)]
+            elif case == "first":
+                pieces = [(NY - HALO, 0, HALO), (0, HALO, TY + HALO)]
+            else:                      # "last"
+                pieces = [(ym, 0, TY + HALO), (0, TY + HALO, HALO)]
+
+            srcs = [(in_pop[k], buf_in[k],
+                     [sem_in.at[slot, k, i] for i in range(3)])
+                    for k in range(nf)]
+            if ek:
+                srcs.append((in_E, buf_E,
+                             [sem_in.at[slot, nf, i] for i in range(3)]))
+            out = []
+            for src, dst, ksem in srcs:
+                for i, (sa, da, n) in enumerate(pieces):
+                    out.append(pltpu.make_async_copy(
+                        src.at[:, plane, pl.ds(sa, n), :],
+                        dst.at[slot, :, pl.ds(da, n), :], ksem[i]))
+            return out
+
+        def _in_do(plane, action):
+            slot = jax.lax.rem(jnp.int32(plane), jnp.int32(3))
+            if JY == 1:
+                for c in _case_copies("single", plane, slot):
+                    action(c)
+                return
+
+            @pl.when(j == 0)
+            def _():
+                for c in _case_copies("first", plane, slot):
+                    action(c)
+
+            @pl.when(j == JY - 1)
+            def _():
+                for c in _case_copies("last", plane, slot):
+                    action(c)
+
+            @pl.when((j > 0) & (j < JY - 1))
+            def _():
+                for c in _case_copies("interior", plane, slot):
+                    action(c)
+
+        def start_in(plane):
+            _in_do(plane, lambda c: c.start())
+
+        def wait_in(plane):
+            _in_do(plane, lambda c: c.wait())
+
+        # ------------------------------------------------ collide
+        def load_pops(k, slot):
+            """(R, NX) values, logical rows [y0-1, y0+TY] = window rows
+            [7, TY+9)."""
+            return [buf_in[k][slot, d, HALO - 1 : HALO - 1 + R, :] for d in range(27)]
+
+        def load_E(slot):
+            return [buf_E[slot, c, HALO - 1 : HALO - 1 + R, :] for c in range(3)]
+
+        def moments_of(pops):
+            m = pops[0]
+            for d in range(1, 27):
+                m = m + pops[d]
+            return m
+
+        def raw_mom(pops, comp):
+            acc = None
+            for d in range(1, 27):
+                e = E_[d][comp]
+                if e == 0:
+                    continue
+                term = pops[d] if e > 0 else -pops[d]
+                acc = term if acc is None else acc + term
+            return acc
+
+        # pair structure of D3Q27: OPP[i] == i+1 for odd i (LBM.cu:1148-1202)
+        PAIRS = [(i, i + 1) for i in range(1, 27, 2)]
+
+        def pair_sums(pops):
+            """Sp[i] = p_i + p_opp, Sm[i] = p_i - p_opp per odd i."""
+            Sp = {}
+            Sm = {}
+            for i, jd in PAIRS:
+                Sp[i] = pops[i] + pops[jd]
+                Sm[i] = pops[i] - pops[jd]
+            return Sp, Sm
+
+        def moment0(pops, Sp):
+            m = pops[0]
+            for i, _ in PAIRS:
+                m = m + Sp[i]
+            return m
+
+        def moment1(Sm, comp):
+            """First moment component from pair differences:
+            sum_d e_da p_d = sum_pairs e_ia Sm_i."""
+            acc = None
+            for i, _ in PAIRS:
+                e = E_[i][comp]
+                if e == 0:
+                    continue
+                term = Sm[i] if e > 0 else -Sm[i]
+                acc = term if acc is None else acc + term
+            return acc
+
+        def edot(i, ax, ay, az):
+            """(e_i . a) from per-axis arrays, sign-folded adds only."""
+            acc = None
+            for e, comp in zip(E_[i], (ax, ay, az)):
+                if e == 0:
+                    continue
+                term = comp if e > 0 else -comp
+                acc = term if acc is None else acc + term
+            return acc
+
+        def trt_pairs(pops, Sp, Sm, m, vx, vy, vz, op_dt, om_dt,
+                      fluid_force=None):
+            """TRT collision entirely in even/odd pair space.
+
+            Equilibrium pair parts (the reference's fep/fem, LBM.cu:1204-1259):
+              e_i + e_j = 2 w_i m (omusq + t_i^2 / 2)
+              e_i - e_j = 2 w_i m t_i ,   t_i = (e_i . v)/(cs^2 CFL)
+            Update: out_i = p_i - op(fp - ep) - om(fm - em) [+ dt src_i],
+            halves folded into the constants.  fluid_force = (ux,uy,uz,
+            fx,fy,fz) adds the Guo TRT source (LBM.cu:1107-1145,1660-1689).
+            """
+            omusq = 1.0 - cst(0.5 * inv_cs2) * (vx * vx + vy * vy + vz * vz)
+            tx, ty_, tz = vx * cst(t_scale), vy * cst(t_scale), vz * cst(t_scale)
+            cop = cst(0.5 * op_dt)
+            com = cst(0.5 * om_dt)
+            # 2 w m per weight class (ws: dirs 1-6, wa: 7-18, wd: 19-26)
+            w2m = {}
+            for i, _ in PAIRS:
+                wkey = W_[i]
+                if wkey not in w2m:
+                    w2m[wkey] = cst(2.0 * wkey) * m
+            if fluid_force is not None:
+                ux_, uy_, uz_, fx_, fy_, fz_ = fluid_force
+                udotF = ux_ * fx_ + uy_ * fy_ + uz_ * fz_
+                ca = cst(0.5 * dt * s_plus * 2.0 * inv_cs2)
+                cb = cst(0.5 * dt * s_minus * 2.0 * inv_cs2 * inv_cfl)
+                ck = cst(inv_cfl * inv_cfl * inv_cs2)
+
+            out = [None] * 27
+            # rest direction: even only
+            e0 = cst(W_[0]) * m * omusq
+            out[0] = pops[0] - cst(op_dt) * (pops[0] - e0)
+            if fluid_force is not None:
+                s0 = cst(dt * s_plus * W_[0] * inv_cs2) * (-udotF)
+                out[0] = out[0] + s0
+
+            for i, jd in PAIRS:
+                t = edot(i, tx, ty_, tz)
+                coeff = w2m[W_[i]]
+                ep2 = coeff * (omusq + 0.5 * (t * t))
+                em2 = coeff * t
+                a = cop * (Sp[i] - ep2)
+                b = com * (Sm[i] - em2)
+                oi = pops[i] - (a + b)
+                oj = pops[jd] - (a - b)
+                if fluid_force is not None:
+                    w = cst(W_[i])
+                    eF = edot(i, fx_, fy_, fz_)
+                    eu = edot(i, ux_, uy_, uz_)
+                    A = (ca * w) * (eu * eF * ck - udotF)
+                    B = (cb * w) * eF
+                    oi = oi + (A + B)
+                    oj = oj + (A - B)
+                out[i] = oi
+                out[jd] = oj
+            return out
+
+        def store_slot(k, slot, vals):
+            for d in range(27):
+                slot_pop[k][slot, d] = vals[d]
+
+        def reflect_raw(pops, with_wall_term):
+            out = [None] * 27
+            out[0] = pops[0]
+            for d in range(1, 27):
+                v = pops[OPP[d]]
+                if with_wall_term and E_[d][0] != 0 and mw_coef != 0.0:
+                    v = v + cst(mw_coef * W_[d] * E_[d][0])
+                out[d] = v
+            return out
+
+        def collide_plane(plane_s, slot, u_override=None, numer_out=None,
+                          is_lower_wall=False, is_upper_wall=False):
+            fpops = load_pops(0, slot)
+            fSp, fSm = pair_sums(fpops)
+            rho = moment0(fpops, fSp)
+            inv_rho = 1.0 / rho
+            if ek:
+                hpops = load_pops(1, slot)
+                hSp, hSm = pair_sums(hpops)
+                c = moment0(hpops, hSp)
+                hnpops = load_pops(2, slot)
+                hnSp, hnSm = pair_sums(hnpops)
+                cn = moment0(hnpops, hnSp)
+            if thermal:
+                gpops = load_pops(nf - 1, slot)
+                gSp, gSm = pair_sums(gpops)
+                T = moment0(gpops, gSp)
+
+            # body force (LBM.cu:632-637)
+            if ek:
+                Ex, Ey, Ez = load_E(slot)
+                q = cst(kappa) * (c - cn)
+                fx = q * (Ex + cst(p.ext_field)) + cst(p.exf)
+                fy = q * Ey
+                fz = q * Ez
+            else:
+                zero = jnp.zeros_like(rho)
+                fx = zero + cst(p.exf)
+                fy = zero
+                fz = zero
+            if thermal:
+                fz = fz + cst(buoy) * T
+
+            # velocity with half-force correction (LBM.cu:639-644)
+            nx_ = moment1(fSm, 0) * cst(inv_cfl) + cst(0.5 * dt) * fx
+            ny_ = moment1(fSm, 1) * cst(inv_cfl) + cst(0.5 * dt) * fy
+            nz_ = moment1(fSm, 2) * cst(inv_cfl) + cst(0.5 * dt) * fz
+            if numer_out is not None:
+                numer_out.extend([nx_, ny_, nz_])
+            if u_override is not None:
+                ux, uy, uz = u_override(inv_rho)
+            else:
+                ux, uy, uz = nx_ * inv_rho, ny_ * inv_rho, nz_ * inv_rho
+
+            # pre-collision ion moments out (consumed by the Poisson solve)
+            if ek:
+                cmom[0] = c[1 : TY + 1]
+                cmom[1] = cn[1 : TY + 1]
+                cp_ = pltpu.make_async_copy(
+                    cmom.at[:], out_ccn.at[:, plane_s, pl.ds(y0, TY), :],
+                    sem_wall.at[1])
+                cp_.start(); cp_.wait()
+
+            if is_lower_wall or is_upper_wall:
+                f2 = reflect_raw(fpops, with_wall_term=is_upper_wall)
+            else:
+                f2 = [pp + rho * cst(1e-30) for pp in fpops]
+            store_slot(0, slot, f2)
+
+            if ek:
+                h2 = trt_pairs(hpops, hSp, hSm, c, ux + cst(p.K) * Ex,
+                               uy + cst(p.K) * Ey, uz + cst(p.K) * Ez,
+                               *om_p["h"])
+                store_slot(1, slot, h2)
+                hn2 = trt_pairs(hnpops, hnSp, hnSm, cn, ux + cst(p.Kn) * Ex,
+                                uy + cst(p.Kn) * Ey, uz + cst(p.Kn) * Ez,
+                                *om_p["hn"])
+                store_slot(2, slot, hn2)
+            if thermal:
+                g2 = trt_pairs(gpops, gSp, gSm, T, ux, uy, uz, *om_p["g"])
+                store_slot(nf - 1, slot, g2)
+
+        # ------------------------------------------------ emit
+        def roll_x(val, ex):
+            if ex == 0:
+                return val
+            return pltpu.roll(val, ex % NX, axis=1)
+
+        def streamed_dir(k, d, e):
+            src_slot = jax.lax.rem(jnp.int32(e + 3 * NZ), jnp.int32(3))
+            full = slot_pop[k][src_slot, d]
+            val = jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
+            return val
+
+        def interior_emit_copy(k, b, e):
+            return pltpu.make_async_copy(
+                emit_pop[k].at[b], out_pop[k].at[:, e, pl.ds(y0, TY), :],
+                sem_emit.at[k, b])
+
+        def emit_interior(step):
+            """Async double-buffered emit of plane e = step-1."""
+            e = step - 1
+            b = jax.lax.rem(jnp.int32(step), jnp.int32(2))
+
+            # drain the DMA issued from this parity two steps ago
+            @pl.when(step >= 4)
+            def _():
+                for k in range(nf):
+                    interior_emit_copy(k, b, step - 3).wait()
+
+            for k in range(nf):
+                for d in range(27):
+                    emit_pop[k][b, d] = streamed_dir(k, d, e)
+                interior_emit_copy(k, b, e).start()
+
+        def drain_interior(step):
+            """Wait any interior emit issued at `step` (if it was one)."""
+            if step < 2 or step > NZ - 1:
+                return
+            b = step % 2
+            for k in range(nf):
+                interior_emit_copy(k, b, step - 1).wait()
+
+        def wall_dma(k, e, dirs=None):
+            if dirs is None:
+                cp_ = pltpu.make_async_copy(
+                    wall_buf.at[:], out_pop[k].at[:, e, pl.ds(y0, TY), :],
+                    sem_wall.at[0])
+                cp_.start(); cp_.wait()
+            else:
+                for d in dirs:
+                    cp_ = pltpu.make_async_copy(
+                        wall_buf.at[d], out_pop[k].at[d, e, pl.ds(y0, TY), :],
+                        sem_wall.at[0])
+                    cp_.start(); cp_.wait()
+
+        def emit_wall(e, slot_e, f_src_for_down=None, f_dirs=None):
+            """Wall-plane emit (reference gpu_bc_charge semantics):
+            fluid streams (f_src_for_down overrides the z-wrap source for
+            ez=-1), ions reflect, temperature anti-bounces."""
+            dirs = list(range(27)) if f_dirs is None else f_dirs
+            for d in dirs:
+                ez = E_[d][2]
+                if ez == -1 and f_src_for_down is not None:
+                    full = f_src_for_down[d]
+                    val = roll_x(
+                        jax.lax.slice_in_dim(full, 1 - E_[d][1], 1 - E_[d][1] + TY, axis=0),
+                        E_[d][0])
+                else:
+                    val = streamed_dir(0, d, e)
+                wall_buf[d] = val
+            wall_dma(0, e, None if f_dirs is None else dirs)
+
+            if ek:
+                for k in (1, 2):
+                    for d in range(27):
+                        full = slot_pop[k][slot_e, OPP[d]]
+                        wall_buf[d] = jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
+                    wall_dma(k, e)
+            if thermal:
+                k = nf - 1
+                tw = 2.0 * p.TH if e == 0 else 0.0
+                for d in range(27):
+                    full = slot_pop[k][slot_e, OPP[d]]
+                    v = -jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
+                    if tw != 0.0:
+                        v = v + cst(tw * W_[d])
+                    wall_buf[d] = v
+                wall_dma(k, e)
+
+        # ------------------------------------------------ pipeline
+        @pl.when(s == 0)
+        def _():
+            start_in(0)
+            start_in(1)
+            wait_in(0)
+
+        @pl.when(s == 1)
+        def _():
+            wait_in(1)
+            start_in(2)
+            numer1 = []
+            collide_plane(1, 1, numer_out=numer1)
+            nx1, ny1, nz1 = numer1
+
+            def wall_u(inv_rho0):
+                return (-nx1 * inv_rho0, -ny1 * inv_rho0, -nz1 * inv_rho0)
+
+            collide_plane(0, 0, u_override=wall_u, is_lower_wall=True)
+            for d in range(27):
+                f_pin[d] = slot_pop[0][0, d]
+
+        @pl.when((s >= 2) & (s < NZ))
+        def _():
+            wait_in(s)
+
+            @pl.when(s + 1 < NZ)
+            def _():
+                start_in(s + 1)
+
+            collide_plane(s, jax.lax.rem(s, jnp.int32(3)))
+
+        @pl.when(s == NZ - 1)
+        def _():
+            # upper-wall fluid: bounce-back of the raw input populations
+            slot = jax.lax.rem(s, jnp.int32(3))
+            fpops = load_pops(0, slot)
+            store_slot(0, slot, reflect_raw(fpops, with_wall_term=True))
+
+        @pl.when((s >= 2) & (s <= NZ - 1))
+        def _():
+            emit_interior(s)
+
+        @pl.when(s == 2)
+        def _():
+            emit_wall(0, slot_e=0,
+                      f_dirs=[d for d in range(27) if E_[d][2] <= 0])
+
+        @pl.when(s == NZ)
+        def _():
+            drain_interior(NZ - 1)
+            drain_interior(NZ - 2)
+            emit_wall(NZ - 1, slot_e=(NZ - 1) % 3, f_src_for_down=f_pin)
+            slot_top = (NZ - 1) % 3
+            up_dirs = [d for d in range(27) if E_[d][2] == 1]
+            for d in up_dirs:
+                full = slot_pop[0][slot_top, d]
+                val = jax.lax.slice_in_dim(full, 1 - E_[d][1], 1 - E_[d][1] + TY, axis=0)
+                wall_buf[d] = roll_x(val, E_[d][0])
+            wall_dma(0, 0, up_dirs)
+
+    # ------------------------------------------------------------------
+    pop_shape = (27, NZ, NY, NX)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
+    out_shapes = [jax.ShapeDtypeStruct(pop_shape, dtype) for _ in range(nf)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(nf)]
+    if ek:
+        out_shapes.append(jax.ShapeDtypeStruct((2, NZ, NY, NX), dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+
+    scratch = []
+    for _ in range(nf):
+        scratch.append(pltpu.VMEM((3, 27, WROWS, NX), dtype))  # input windows
+    if ek:
+        scratch.append(pltpu.VMEM((3, 3, WROWS, NX), dtype))   # E windows
+    for _ in range(nf):
+        scratch.append(pltpu.VMEM((3, 27, R, NX), dtype))      # post slots
+    scratch.append(pltpu.VMEM((27, R, NX), dtype))             # f_pin
+    for _ in range(nf):
+        scratch.append(pltpu.VMEM((2, 27, TY, NX), dtype))     # emit dbl-buf
+    scratch.append(pltpu.VMEM((27, TY, NX), dtype))            # wall buf
+    if ek:
+        scratch.append(pltpu.VMEM((2, TY, NX), dtype))         # cmom
+    scratch.append(pltpu.SemaphoreType.DMA((3, n_in, 3)))      # sem_in
+    scratch.append(pltpu.SemaphoreType.DMA((nf, 2)))           # sem_emit
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))              # sem_wall
+
+    fused = pl.pallas_call(
+        kernel,
+        grid=(JY, NZ + 1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def apply(f, h=None, hn=None, g_=None, E=None):
+        args = [f]
+        if ek:
+            args += [h, hn]
+        if thermal:
+            args.append(g_)
+        if ek:
+            args.append(E)
+        outs = list(fused(*args))
+        f1 = outs.pop(0)
+        h1 = outs.pop(0) if ek else None
+        hn1 = outs.pop(0) if ek else None
+        g1 = outs.pop(0) if thermal else None
+        c = cn = None
+        if ek:
+            ccn = outs.pop(0)
+            c, cn = ccn[0], ccn[1]
+        return f1, h1, hn1, g1, c, cn
+
+    return apply

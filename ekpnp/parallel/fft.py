@@ -140,6 +140,51 @@ def dst_z(a):
                          precision=jax.lax.Precision.HIGHEST)
 
 
+@lru_cache(maxsize=None)
+def _hartley_matrix(n: int, f64: bool):
+    """H[k, j] = cas(2 pi j k / n) = cos + sin.  Real, symmetric,
+    H @ H = n I.  For any spectral symbol even in the frequency index
+    (mu[k] == mu[n-k]) — true of kx^2, ky^2 here — diagonal multiplication
+    in Hartley space gives exactly the DFT result, at 1/4 the matmul work
+    of a complex DFT."""
+    jk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
+    H = np.cos(jk) + np.sin(jk)
+    return H.astype(np.float64 if f64 else np.float32)
+
+
+def _apply_hartley(a, axis: int):
+    f64 = a.dtype == jnp.float64
+    H = jnp.asarray(_hartley_matrix(a.shape[axis], f64))
+    a = jnp.moveaxis(a, axis, 0)
+    out = jnp.tensordot(H, a, axes=([1], [0]),
+                        precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def hartley2_xy(a, mesh: Optional[Mesh] = None):
+    """Unnormalized real Hartley transform along (y, x) of real (NZI, NY, NX).
+    Self-inverse up to 1/(NY*NX) (the caller folds the normalization into
+    its overall scale).  Same resharding structure as fft2_xy."""
+    if mesh is None or mesh.devices.size == 1:
+        for ax in (1, 2):
+            a = _apply_hartley(a, ax)
+        return a
+
+    pencil = "x" in mesh.axis_names
+    if not pencil:
+        a = _cs(a, mesh, P(None, "y", None))
+        a = _apply_hartley(a, 2)                 # x local
+        a = _cs(a, mesh, P(None, None, "y"))     # all-to-all: y -> x
+        a = _apply_hartley(a, 1)                 # y local
+        return _cs(a, mesh, P(None, "y", None))
+
+    a = _cs(a, mesh, P(None, ("y", "x"), None))  # gather x onto y-dim
+    a = _apply_hartley(a, 2)                     # x local
+    a = _cs(a, mesh, P(None, None, ("y", "x")))  # swap: y -> x-dim
+    a = _apply_hartley(a, 1)                     # y local
+    return _cs(a, mesh, P(None, "y", "x"))
+
+
 def fft2_xy(a, mesh: Optional[Mesh] = None, inverse: bool = False,
             method: Optional[str] = None):
     """2D transform along (y, x) of (NZI, NY, NX); z stays local (its extent
