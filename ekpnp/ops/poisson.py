@@ -29,6 +29,7 @@ from __future__ import annotations
 from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import Config
@@ -110,20 +111,41 @@ def interior_rhs(cfg: Config, charge, chargen):
     return rhs
 
 
+def _scaled_inv_symbol(cfg: Config, dtype, extra_scale: float):
+    """-extra_scale / mu as three broadcastable 1-D factors combined inside
+    the jit — XLA fuses the broadcasts into the consuming multiply, so the
+    full-volume symbol never exists in HBM (unlike the reference's
+    precomputed kx/ky/kz device tables, main.cu:118-152)."""
+    g = cfg.grid
+    kx, ky, _ = wavenumbers(cfg, np.float64)
+    m = np.arange(1, g.nz - 1, dtype=np.float64)
+    sz = (4.0 / g.dz**2) * np.sin(np.pi * m / g.ne) ** 2
+    sz_j = jnp.asarray(sz, dtype)[:, None, None]
+    ky2 = jnp.asarray(ky * ky, dtype)[None, :, None]
+    kx2 = jnp.asarray(kx * kx, dtype)[None, None, :]
+    return dtype.type(-extra_scale) / (sz_j + ky2 + kx2)
+
+
 def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
     """Reduced solve, all-real transforms: DST-I in z (real MXU matmul over
     NZ-2 rows — a quarter of the odd-extended FFT work) + real Hartley
     transform in x,y (the symbol is even in kx and ky, so Hartley filtering
     equals DFT filtering at 1/4 the matmul work).  Mathematically identical
-    to the reference's odd-extension complex FFT (poisson.cu:75-103)."""
-    from ..parallel.fft import dst_z, fft2_xy, hartley2_xy
+    to the reference's odd-extension complex FFT (poisson.cu:75-103).
+
+    Every stage is a transpose-free MXU contraction; all normalizations
+    (inverse DST 4/NE, inverse Hartley 1/(NY*NX)) fold into one fused
+    spectral multiply, and the final z-stage matmul emits the wall rows
+    (overwritten in one fused select with the Dirichlet plate values)."""
+    from ..parallel.fft import dst_z, dst_z_padded, fft2_xy, hartley2_xy
 
     g = cfg.grid
     p = cfg.physics
     dtype = charge.dtype
 
     rhs = interior_rhs(cfg, charge, chargen)
-    mu = jnp.asarray(dst_symbol(cfg, np.float64), dtype)
+    # combined scale: DST-I inverse (4/NE) and Hartley/DFT inverse (1/(NY*NX))
+    inv_sym = _scaled_inv_symbol(cfg, dtype, 4.0 / (g.ne * g.ny * g.nx))
 
     method = None if cfg.run.fft_method == "auto" else cfg.run.fft_method
     if method == "dst":
@@ -131,29 +153,30 @@ def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
     s_z = dst_z(rhs)
     if method != "fft":
         # real path: cas-basis transform on the MXU, self-inverse up to NY*NX
-        spec = hartley2_xy(s_z, mesh)
-        spec = spec / (-mu)
-        back = (hartley2_xy(spec, mesh) / dtype.type(g.ny * g.nx)).astype(dtype)
+        spec = hartley2_xy(s_z, mesh) * inv_sym
+        back = hartley2_xy(spec, mesh)
     else:
-        spec = fft2_xy(s_z, mesh, method=method)
-        spec = spec / (-mu)
-        back = jnp.real(fft2_xy(spec, mesh, inverse=True, method=method)).astype(dtype)
-    # inverse DST-I normalization: x = (2/(NZ-1)) B X = (4/NE) B X
-    phi_int = dtype.type(4.0 / g.ne) * dst_z(back)
+        spec = fft2_xy(s_z, mesh, method=method) * inv_sym
+        back = jnp.real(fft2_xy(spec, mesh, inverse=True, method=method)
+                        ).astype(dtype) * dtype.type(g.ny * g.nx)
+    phi = dst_z_padded(back)
 
-    wall_lo = jnp.full((1,) + g.shape[1:], p.voltage, dtype)
-    wall_hi = jnp.full((1,) + g.shape[1:], p.voltage2, dtype)
-    phi = jnp.concatenate([wall_lo, phi_int, wall_hi], axis=0)
+    zidx = jax.lax.broadcasted_iota(jnp.int32, (g.nz, 1, 1), 0)
+    phi = jnp.where(zidx == 0, dtype.type(p.voltage), phi)
+    phi = jnp.where(zidx == g.nz - 1, dtype.type(p.voltage2), phi)
     return phi, efield(cfg, phi)
 
 
 def poisson_solve(cfg: Config, charge, chargen, mesh=None):
-    if cfg.run.fft_method in ("dst", "auto"):
-        import jax as _jax
-
-        if cfg.run.fft_method == "dst" or _jax.default_backend() != "cpu":
-            return poisson_solve_dst(cfg, charge, chargen, mesh)
-    return _poisson_solve_ext(cfg, charge, chargen, mesh)
+    """Dispatch: "fft" = odd-extension + jnp.fft (the n log n oracle, exact
+    reference semantics); "dst"/"matmul" = the reduced all-real MXU path;
+    "auto" = oracle on CPU, MXU path elsewhere."""
+    m = cfg.run.fft_method
+    if m == "fft":
+        return _poisson_solve_ext(cfg, charge, chargen, mesh)
+    if m == "auto" and jax.default_backend() == "cpu":
+        return _poisson_solve_ext(cfg, charge, chargen, mesh)
+    return poisson_solve_dst(cfg, charge, chargen, mesh)
 
 
 def _poisson_solve_ext(cfg: Config, charge, chargen, mesh=None):

@@ -46,14 +46,25 @@ def _dft_matrix(n: int, inverse: bool, f64: bool):
     return w.astype(np.complex128 if f64 else np.complex64)
 
 
+# Contraction subscripts that keep the output axis order equal to the input's
+# with NO transposes: each 1D transform is a single dot_general the MXU runs
+# natively ('zyx,kx->zyk' is A @ H^T, 'ky,zyx->zkx' a z-batched H @ A).
+_EINSUM_3D = {0: "kz,zyx->kyx", 1: "ky,zyx->zkx", 2: "zyx,kx->zyk"}
+
+
+def _contract(mat, a, axis: int):
+    """Apply (n, n) `mat` along `axis` of 3D `a`, transpose-free.
+    HIGHEST precision: TPU otherwise lowers the matmul to bf16, which
+    destroys the boundary-term cancellation in the Poisson RHS."""
+    sub = _EINSUM_3D[axis]
+    args = (a, mat) if axis == 2 else (mat, a)
+    return jnp.einsum(sub, *args, precision=jax.lax.Precision.HIGHEST)
+
+
 def _apply_dft(a, axis: int, inverse: bool):
     f64 = a.dtype in (jnp.float64, jnp.complex128)
     w = jnp.asarray(_dft_matrix(a.shape[axis], inverse, f64))
-    a = jnp.moveaxis(a, axis, 0)
-    # HIGHEST precision: TPU otherwise lowers the complex matmul to bf16,
-    # which destroys the boundary-term cancellation in the Poisson RHS.
-    out = jnp.tensordot(w, a, axes=([1], [0]), precision=jax.lax.Precision.HIGHEST)
-    return jnp.moveaxis(out, 0, axis)
+    return _contract(w, a, axis)
 
 
 def _transform(a, axis: int, inverse: bool, method: str):
@@ -136,8 +147,19 @@ def dst_z(a):
     poisson.cu:114-158 + cufft z-transform)."""
     f64 = a.dtype == jnp.float64
     B = jnp.asarray(_dst1_matrix(a.shape[0], f64))
-    return jnp.tensordot(B, a, axes=([1], [0]),
-                         precision=jax.lax.Precision.HIGHEST)
+    return _contract(B, a, 0)
+
+
+def dst_z_padded(a):
+    """Inverse-stage DST-I along axis 0 whose output carries one zero row at
+    each end — the wall planes z=0 and z=NZ-1 the caller overwrites with the
+    Dirichlet plate values (odd_extract, poisson.cu:191-204).  Emitting them
+    from the same matmul avoids a full-volume concatenate pass."""
+    f64 = a.dtype == jnp.float64
+    n = a.shape[0]
+    B = np.zeros((n + 2, n), dtype=np.float64 if f64 else np.float32)
+    B[1:-1] = np.asarray(_dst1_matrix(n, f64))
+    return _contract(jnp.asarray(B), a, 0)
 
 
 @lru_cache(maxsize=None)
@@ -155,10 +177,7 @@ def _hartley_matrix(n: int, f64: bool):
 def _apply_hartley(a, axis: int):
     f64 = a.dtype == jnp.float64
     H = jnp.asarray(_hartley_matrix(a.shape[axis], f64))
-    a = jnp.moveaxis(a, axis, 0)
-    out = jnp.tensordot(H, a, axes=([1], [0]),
-                        precision=jax.lax.Precision.HIGHEST)
-    return jnp.moveaxis(out, 0, axis)
+    return _contract(H, a, axis)
 
 
 def hartley2_xy(a, mesh: Optional[Mesh] = None):

@@ -72,11 +72,24 @@ def multi_step(cfg: Config, state: State, n: int) -> State:
     Macroscopic fields are recomputable from the returned state with
     `ekpnp.ops.collide.compute_macro` — the reference instead stores them
     every step (LBM.cu:807-813); here the inner loop carries populations
-    only, saving HBM traffic."""
+    only, saving HBM traffic.
 
-    def body(carry, _):
-        new, _ = step(cfg, carry)
+    The scan body runs TWO steps: an XLA while-loop must update its carry
+    buffers in place, and the fused Pallas call (no input/output aliasing)
+    writes fresh output buffers — with one step per body XLA inserts a
+    full copy of every population field to restore the carry placement
+    (~22 ms/step at 256^3).  With a step pair, liveness lets XLA assign the
+    second call's outputs straight to the first call's dead inputs — the
+    buffers ping-pong A->B->A and the copies vanish, exactly the
+    reference's f1/f2 pointer swap (main.cu:192) reborn as buffer
+    assignment."""
+
+    def body2(carry, _):
+        mid, _ = step(cfg, carry)
+        new, _ = step(cfg, mid)
         return new, None
 
-    state, _ = jax.lax.scan(body, state, None, length=n)
+    state, _ = jax.lax.scan(body2, state, None, length=n // 2)
+    if n % 2:
+        state, _ = step(cfg, state)
     return state
