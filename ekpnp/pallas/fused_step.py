@@ -139,6 +139,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         sem_in = refs[idx]; idx += 1                     # (3, n_in, 3)
         sem_emit = refs[idx]; idx += 1                   # (nf, 2)
         sem_wall = refs[idx]; idx += 1                   # (2,)
+        sem_cmom = refs[idx] if ek else None; idx += 1 if ek else 0
 
         j = pl.program_id(0)
         s = pl.program_id(1)
@@ -382,14 +383,26 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             else:
                 ux, uy, uz = nx_ * inv_rho, ny_ * inv_rho, nz_ * inv_rho
 
-            # pre-collision ion moments out (consumed by the Poisson solve)
+            # pre-collision ion moments out (consumed by the Poisson solve).
+            # Double-buffered async: a synchronous wait here would queue
+            # behind the in-flight window/emit DMAs and serialize every
+            # plane step (measured ~7 ms/step at 256^3).
             if ek:
-                cmom[0] = c[1 : TY + 1]
-                cmom[1] = cn[1 : TY + 1]
-                cp_ = pltpu.make_async_copy(
-                    cmom.at[:], out_ccn.at[:, plane_s, pl.ds(y0, TY), :],
-                    sem_wall.at[1])
-                cp_.start(); cp_.wait()
+                cb = jax.lax.rem(jnp.int32(plane_s), jnp.int32(2))
+                if isinstance(plane_s, int):
+                    pass  # planes 0 and 1 (startup): nothing outstanding yet
+                else:
+                    @pl.when(plane_s >= 2)
+                    def _():
+                        pltpu.make_async_copy(
+                            cmom.at[cb],
+                            out_ccn.at[:, plane_s - 2, pl.ds(y0, TY), :],
+                            sem_cmom.at[cb]).wait()
+                cmom[cb, 0] = c[1 : TY + 1]
+                cmom[cb, 1] = cn[1 : TY + 1]
+                pltpu.make_async_copy(
+                    cmom.at[cb], out_ccn.at[:, plane_s, pl.ds(y0, TY), :],
+                    sem_cmom.at[cb]).start()
 
             if is_lower_wall or is_upper_wall:
                 f2 = reflect_raw(fpops, with_wall_term=is_upper_wall)
@@ -552,6 +565,12 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         def _():
             drain_interior(NZ - 1)
             drain_interior(NZ - 2)
+            if ek:
+                for plane in (NZ - 2, NZ - 1):
+                    pltpu.make_async_copy(
+                        cmom.at[plane % 2],
+                        out_ccn.at[:, plane, pl.ds(y0, TY), :],
+                        sem_cmom.at[plane % 2]).wait()
             emit_wall(NZ - 1, slot_e=(NZ - 1) % 3, f_src_for_down=f_pin)
             slot_top = (NZ - 1) % 3
             up_dirs = [d for d in range(27) if E_[d][2] == 1]
@@ -583,10 +602,12 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         scratch.append(pltpu.VMEM((2, 27, TY, NX), dtype))     # emit dbl-buf
     scratch.append(pltpu.VMEM((27, TY, NX), dtype))            # wall buf
     if ek:
-        scratch.append(pltpu.VMEM((2, TY, NX), dtype))         # cmom
+        scratch.append(pltpu.VMEM((2, 2, TY, NX), dtype))      # cmom dbl-buf
     scratch.append(pltpu.SemaphoreType.DMA((3, n_in, 3)))      # sem_in
     scratch.append(pltpu.SemaphoreType.DMA((nf, 2)))           # sem_emit
     scratch.append(pltpu.SemaphoreType.DMA((2,)))              # sem_wall
+    if ek:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))          # sem_cmom
 
     fused = pl.pallas_call(
         kernel,
