@@ -52,19 +52,25 @@ from ..config import Config
 HALO = 8  # aligned halo block height; row 7 is y0-1, row TY+8 is y0+TY
 
 
-def _pick_ty(cfg, nfields: int, vmem_budget=80 * 1024 * 1024):
+def _pick_ty(cfg, nfields: int, vmem_budget=64 * 1024 * 1024):
     """Largest strip height TY (multiple of 8) dividing NY that fits VMEM.
 
     Wider strips amortize the 16 halo rows each window DMA re-reads:
-    input amplification is (TY+16)/TY, so TY=64 reads 25% extra where
-    TY=16 reads 100% extra — measured 433 vs 367 MLUPS coupled at 256^3."""
+    input amplification is (TY+16)/TY (TY=64 reads 25% extra, TY=128
+    12.5%).  Budget mirrors the scratch list in build_fused_step (2-slot
+    input windows, 3 post-collision slots, double-buffered emit) and
+    leaves the other half of VMEM for Mosaic's register spill arena: the
+    4-field collide at TY=128 spills ~62 MB of vector registers, so the
+    coupled kernel lands on TY=64 — measured faster than any spilling
+    TY=128 variant."""
     g = cfg.grid
     for ty in (128, 64, 32, 16, 8):
         if g.ny % ty:
             continue
-        win = 27 * (ty + 16) * g.nx * 4
-        plane = 27 * (ty + 2) * g.nx * 4
-        need = nfields * (3 * win + 3 * plane + 3 * 27 * ty * g.nx * 4) + plane
+        win = 27 * (ty + 16) * g.nx * 4       # one input window slot
+        plane = 27 * (ty + 2) * g.nx * 4      # one post-collision slot
+        emit = 27 * ty * g.nx * 4             # one emit buffer
+        need = nfields * (2 * win + 3 * plane + 2 * emit) + 2 * plane + emit
         if need < vmem_budget:
             return ty
     return None
@@ -136,7 +142,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         emit_pop = refs[idx : idx + nf]; idx += nf       # (2, 27, TY, NX)
         wall_buf = refs[idx]; idx += 1                   # (27, TY, NX)
         cmom = refs[idx] if ek else None; idx += 1 if ek else 0
-        sem_in = refs[idx]; idx += 1                     # (3, n_in, 3)
+        sem_in = refs[idx]; idx += 1                     # (2, n_in, 3)
         sem_emit = refs[idx]; idx += 1                   # (nf, 2)
         sem_wall = refs[idx]; idx += 1                   # (2,)
         sem_cmom = refs[idx] if ek else None; idx += 1 if ek else 0
@@ -176,7 +182,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             return out
 
         def _in_do(plane, action):
-            slot = jax.lax.rem(jnp.int32(plane), jnp.int32(3))
+            slot = jax.lax.rem(jnp.int32(plane), jnp.int32(2))
             if JY == 1:
                 for c in _case_copies("single", plane, slot):
                     action(c)
@@ -204,59 +210,41 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             _in_do(plane, lambda c: c.wait())
 
         # ------------------------------------------------ collide
-        def load_pops(k, slot):
-            """(R, NX) values, logical rows [y0-1, y0+TY] = window rows
-            [7, TY+9)."""
-            return [buf_in[k][slot, d, HALO - 1 : HALO - 1 + R, :] for d in range(27)]
+        # All collide stages stream direction-by-direction straight from the
+        # input window refs and store straight into slot_pop: at no point is
+        # a field\'s full 27-direction set live in VMEM.  (The earlier
+        # all-fields-live formulation needed ~41 MB of compiler temporaries
+        # at TY=128 — over VMEM together with the DMA windows.)
+        def ld_pop(k, in_slot, d):
+            """(R, NX) plane rows [y0-1, y0+TY] = window rows [7, TY+9)."""
+            return buf_in[k][in_slot, d, HALO - 1 : HALO - 1 + R, :]
 
         def load_E(slot):
             return [buf_E[slot, c, HALO - 1 : HALO - 1 + R, :] for c in range(3)]
 
-        def moments_of(pops):
-            m = pops[0]
-            for d in range(1, 27):
-                m = m + pops[d]
-            return m
-
-        def raw_mom(pops, comp):
-            acc = None
-            for d in range(1, 27):
-                e = E_[d][comp]
-                if e == 0:
-                    continue
-                term = pops[d] if e > 0 else -pops[d]
-                acc = term if acc is None else acc + term
-            return acc
-
         # pair structure of D3Q27: OPP[i] == i+1 for odd i (LBM.cu:1148-1202)
         PAIRS = [(i, i + 1) for i in range(1, 27, 2)]
 
-        def pair_sums(pops):
-            """Sp[i] = p_i + p_opp, Sm[i] = p_i - p_opp per odd i."""
-            Sp = {}
-            Sm = {}
-            for i, jd in PAIRS:
-                Sp[i] = pops[i] + pops[jd]
-                Sm[i] = pops[i] - pops[jd]
-            return Sp, Sm
-
-        def moment0(pops, Sp):
-            m = pops[0]
-            for i, _ in PAIRS:
-                m = m + Sp[i]
-            return m
-
-        def moment1(Sm, comp):
-            """First moment component from pair differences:
-            sum_d e_da p_d = sum_pairs e_ia Sm_i."""
-            acc = None
-            for i, _ in PAIRS:
-                e = E_[i][comp]
-                if e == 0:
-                    continue
-                term = Sm[i] if e > 0 else -Sm[i]
-                acc = term if acc is None else acc + term
+        def field_moment0(k, in_slot):
+            acc = ld_pop(k, in_slot, 0)
+            for d in range(1, 27):
+                acc = acc + ld_pop(k, in_slot, d)
             return acc
+
+        def fluid_moments(in_slot):
+            """rho and the three raw momenta in one accumulator pass."""
+            rho = ld_pop(0, in_slot, 0)
+            mom = [None, None, None]
+            for d in range(1, 27):
+                v = ld_pop(0, in_slot, d)
+                rho = rho + v
+                for a in range(3):
+                    e = E_[d][a]
+                    if e == 0:
+                        continue
+                    t = v if e > 0 else -v
+                    mom[a] = t if mom[a] is None else mom[a] + t
+            return rho, mom[0], mom[1], mom[2]
 
         def edot(i, ax, ay, az):
             """(e_i . a) from per-axis arrays, sign-folded adds only."""
@@ -268,11 +256,12 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 acc = term if acc is None else acc + term
             return acc
 
-        def trt_pairs(pops, Sp, Sm, m, vx, vy, vz, op_dt, om_dt,
+        def trt_store(k, in_slot, slot, m, vx, vy, vz, op_dt, om_dt,
                       fluid_force=None):
-            """TRT collision entirely in even/odd pair space.
+            """TRT collision in even/odd pair space, one pair at a time,
+            stored into slot_pop as soon as computed.
 
-            Equilibrium pair parts (the reference's fep/fem, LBM.cu:1204-1259):
+            Equilibrium pair parts (the reference\'s fep/fem, LBM.cu:1204-1259):
               e_i + e_j = 2 w_i m (omusq + t_i^2 / 2)
               e_i - e_j = 2 w_i m t_i ,   t_i = (e_i . v)/(cs^2 CFL)
             Update: out_i = p_i - op(fp - ep) - om(fm - em) [+ dt src_i],
@@ -296,23 +285,25 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 cb = cst(0.5 * dt * s_minus * 2.0 * inv_cs2 * inv_cfl)
                 ck = cst(inv_cfl * inv_cfl * inv_cs2)
 
-            out = [None] * 27
             # rest direction: even only
+            p0 = ld_pop(k, in_slot, 0)
             e0 = cst(W_[0]) * m * omusq
-            out[0] = pops[0] - cst(op_dt) * (pops[0] - e0)
+            o0 = p0 - cst(op_dt) * (p0 - e0)
             if fluid_force is not None:
-                s0 = cst(dt * s_plus * W_[0] * inv_cs2) * (-udotF)
-                out[0] = out[0] + s0
+                o0 = o0 + cst(dt * s_plus * W_[0] * inv_cs2) * (-udotF)
+            slot_pop[k][slot, 0] = o0
 
             for i, jd in PAIRS:
+                pi = ld_pop(k, in_slot, i)
+                pj = ld_pop(k, in_slot, jd)
                 t = edot(i, tx, ty_, tz)
                 coeff = w2m[W_[i]]
                 ep2 = coeff * (omusq + 0.5 * (t * t))
                 em2 = coeff * t
-                a = cop * (Sp[i] - ep2)
-                b = com * (Sm[i] - em2)
-                oi = pops[i] - (a + b)
-                oj = pops[jd] - (a - b)
+                a = cop * ((pi + pj) - ep2)
+                b = com * ((pi - pj) - em2)
+                oi = pi - (a + b)
+                oj = pj - (a - b)
                 if fluid_force is not None:
                     w = cst(W_[i])
                     eF = edot(i, fx_, fy_, fz_)
@@ -321,45 +312,36 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                     B = (cb * w) * eF
                     oi = oi + (A + B)
                     oj = oj + (A - B)
-                out[i] = oi
-                out[jd] = oj
-            return out
+                slot_pop[k][slot, i] = oi
+                slot_pop[k][slot, jd] = oj
 
-        def store_slot(k, slot, vals):
-            for d in range(27):
-                slot_pop[k][slot, d] = vals[d]
-
-        def reflect_raw(pops, with_wall_term):
-            out = [None] * 27
-            out[0] = pops[0]
+        def reflect_store(k, in_slot, slot, with_wall_term):
+            """Bounce-back of the raw input populations straight into
+            slot_pop (reference gpu_boundary, LBM.cu:1848-1961)."""
+            slot_pop[k][slot, 0] = ld_pop(k, in_slot, 0)
             for d in range(1, 27):
-                v = pops[OPP[d]]
+                v = ld_pop(k, in_slot, OPP[d])
                 if with_wall_term and E_[d][0] != 0 and mw_coef != 0.0:
                     v = v + cst(mw_coef * W_[d] * E_[d][0])
-                out[d] = v
-            return out
+                slot_pop[k][slot, d] = v
 
         def collide_plane(plane_s, slot, u_override=None, numer_out=None,
                           is_lower_wall=False, is_upper_wall=False):
-            fpops = load_pops(0, slot)
-            fSp, fSm = pair_sums(fpops)
-            rho = moment0(fpops, fSp)
+            if isinstance(plane_s, int):
+                in_slot = plane_s % 2
+            else:
+                in_slot = jax.lax.rem(jnp.int32(plane_s), jnp.int32(2))
+            rho, mxr, myr, mzr = fluid_moments(in_slot)
             inv_rho = 1.0 / rho
             if ek:
-                hpops = load_pops(1, slot)
-                hSp, hSm = pair_sums(hpops)
-                c = moment0(hpops, hSp)
-                hnpops = load_pops(2, slot)
-                hnSp, hnSm = pair_sums(hnpops)
-                cn = moment0(hnpops, hnSp)
+                c = field_moment0(1, in_slot)
+                cn = field_moment0(2, in_slot)
             if thermal:
-                gpops = load_pops(nf - 1, slot)
-                gSp, gSm = pair_sums(gpops)
-                T = moment0(gpops, gSp)
+                T = field_moment0(nf - 1, in_slot)
 
             # body force (LBM.cu:632-637)
             if ek:
-                Ex, Ey, Ez = load_E(slot)
+                Ex, Ey, Ez = load_E(in_slot)
                 q = cst(kappa) * (c - cn)
                 fx = q * (Ex + cst(p.ext_field)) + cst(p.exf)
                 fy = q * Ey
@@ -373,9 +355,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 fz = fz + cst(buoy) * T
 
             # velocity with half-force correction (LBM.cu:639-644)
-            nx_ = moment1(fSm, 0) * cst(inv_cfl) + cst(0.5 * dt) * fx
-            ny_ = moment1(fSm, 1) * cst(inv_cfl) + cst(0.5 * dt) * fy
-            nz_ = moment1(fSm, 2) * cst(inv_cfl) + cst(0.5 * dt) * fz
+            nx_ = mxr * cst(inv_cfl) + cst(0.5 * dt) * fx
+            ny_ = myr * cst(inv_cfl) + cst(0.5 * dt) * fy
+            nz_ = mzr * cst(inv_cfl) + cst(0.5 * dt) * fz
             if numer_out is not None:
                 numer_out.extend([nx_, ny_, nz_])
             if u_override is not None:
@@ -405,24 +387,18 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                     sem_cmom.at[cb]).start()
 
             if is_lower_wall or is_upper_wall:
-                f2 = reflect_raw(fpops, with_wall_term=is_upper_wall)
+                reflect_store(0, in_slot, slot, with_wall_term=is_upper_wall)
             else:
-                f2 = trt_pairs(fpops, fSp, fSm, rho, ux, uy, uz, *om_p["f"],
-                               fluid_force=(ux, uy, uz, fx, fy, fz))
-            store_slot(0, slot, f2)
+                trt_store(0, in_slot, slot, rho, ux, uy, uz, *om_p["f"],
+                          fluid_force=(ux, uy, uz, fx, fy, fz))
 
             if ek:
-                h2 = trt_pairs(hpops, hSp, hSm, c, ux + cst(p.K) * Ex,
-                               uy + cst(p.K) * Ey, uz + cst(p.K) * Ez,
-                               *om_p["h"])
-                store_slot(1, slot, h2)
-                hn2 = trt_pairs(hnpops, hnSp, hnSm, cn, ux + cst(p.Kn) * Ex,
-                                uy + cst(p.Kn) * Ey, uz + cst(p.Kn) * Ez,
-                                *om_p["hn"])
-                store_slot(2, slot, hn2)
+                trt_store(1, in_slot, slot, c, ux + cst(p.K) * Ex,
+                          uy + cst(p.K) * Ey, uz + cst(p.K) * Ez, *om_p["h"])
+                trt_store(2, in_slot, slot, cn, ux + cst(p.Kn) * Ex,
+                          uy + cst(p.Kn) * Ey, uz + cst(p.Kn) * Ez, *om_p["hn"])
             if thermal:
-                g2 = trt_pairs(gpops, gSp, gSm, T, ux, uy, uz, *om_p["g"])
-                store_slot(nf - 1, slot, g2)
+                trt_store(nf - 1, in_slot, slot, T, ux, uy, uz, *om_p["g"])
 
         # ------------------------------------------------ emit
         def roll_x(val, ex):
@@ -523,7 +499,6 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         @pl.when(s == 1)
         def _():
             wait_in(1)
-            start_in(2)
             numer1 = []
             collide_plane(1, 1, numer_out=numer1)
             nx1, ny1, nz1 = numer1
@@ -532,6 +507,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 return (-nx1 * inv_rho0, -ny1 * inv_rho0, -nz1 * inv_rho0)
 
             collide_plane(0, 0, u_override=wall_u, is_lower_wall=True)
+            start_in(2)
             for d in range(27):
                 f_pin[d] = slot_pop[0][0, d]
 
@@ -548,9 +524,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         @pl.when(s == NZ - 1)
         def _():
             # upper-wall fluid: bounce-back of the raw input populations
-            slot = jax.lax.rem(s, jnp.int32(3))
-            fpops = load_pops(0, slot)
-            store_slot(0, slot, reflect_raw(fpops, with_wall_term=True))
+            reflect_store(0, jax.lax.rem(s, jnp.int32(2)),
+                          jax.lax.rem(s, jnp.int32(3)), with_wall_term=True)
 
         @pl.when((s >= 2) & (s <= NZ - 1))
         def _():
@@ -592,9 +567,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
     scratch = []
     for _ in range(nf):
-        scratch.append(pltpu.VMEM((3, 27, WROWS, NX), dtype))  # input windows
+        scratch.append(pltpu.VMEM((2, 27, WROWS, NX), dtype))  # input windows
     if ek:
-        scratch.append(pltpu.VMEM((3, 3, WROWS, NX), dtype))   # E windows
+        scratch.append(pltpu.VMEM((2, 3, WROWS, NX), dtype))   # E windows
     for _ in range(nf):
         scratch.append(pltpu.VMEM((3, 27, R, NX), dtype))      # post slots
     scratch.append(pltpu.VMEM((27, R, NX), dtype))             # f_pin
@@ -603,7 +578,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     scratch.append(pltpu.VMEM((27, TY, NX), dtype))            # wall buf
     if ek:
         scratch.append(pltpu.VMEM((2, 2, TY, NX), dtype))      # cmom dbl-buf
-    scratch.append(pltpu.SemaphoreType.DMA((3, n_in, 3)))      # sem_in
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_in, 3)))      # sem_in
     scratch.append(pltpu.SemaphoreType.DMA((nf, 2)))           # sem_emit
     scratch.append(pltpu.SemaphoreType.DMA((2,)))              # sem_wall
     if ek:
@@ -618,7 +593,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )
