@@ -104,11 +104,19 @@ def interior_rhs(cfg: Config, charge, chargen):
     g = cfg.grid
     dtype = charge.dtype
     inv_dz2 = dtype.type(1.0 / (g.dz * g.dz))
-    kappa = dtype.type(p.convert_c_to_charge / p.eps)
-    rhs = -kappa * (charge[1:-1] - chargen[1:-1])
+    rhs = charge_rhs(cfg, charge, chargen)
     rhs = rhs.at[0].add(-dtype.type(p.voltage) * inv_dz2)
     rhs = rhs.at[-1].add(-dtype.type(p.voltage2) * inv_dz2)
     return rhs
+
+
+def charge_rhs(cfg: Config, charge, chargen):
+    """Charge-only RHS rows z = 1..NZ-2 (no plate folds — those are carried
+    by the lifting function on the DST path)."""
+    p = cfg.physics
+    dtype = charge.dtype
+    kappa = dtype.type(p.convert_c_to_charge / p.eps)
+    return -kappa * (charge[1:-1] - chargen[1:-1])
 
 
 def _scaled_inv_symbol(cfg: Config, dtype, extra_scale: float):
@@ -126,6 +134,21 @@ def _scaled_inv_symbol(cfg: Config, dtype, extra_scale: float):
     return dtype.type(-extra_scale) / (sz_j + ky2 + kx2)
 
 
+def lifting_profile(cfg: Config, dtype):
+    """phi_L[z] = voltage + (voltage2 - voltage) z/(NZ-1): the discrete
+    z-linear function matching the plate potentials.  Its second difference
+    is exactly zero, so solving for psi = phi - phi_L with HOMOGENEOUS
+    Dirichlet walls needs no +-voltage/dz^2 folds in the RHS — removing the
+    ~1e13-magnitude boundary terms whose cancellation otherwise forces
+    6-pass (HIGHEST) matmul precision on the f32 TPU path.  Algebraically
+    identical to the reference's folded RHS (poisson.cu:118-137)."""
+    p = cfg.physics
+    g = cfg.grid
+    z = np.arange(g.nz, dtype=np.float64)
+    prof = p.voltage + (p.voltage2 - p.voltage) * z / (g.nz - 1)
+    return jnp.asarray(prof, dtype)[:, None, None]
+
+
 def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
     """Reduced solve, all-real transforms: DST-I in z (real MXU matmul over
     NZ-2 rows — a quarter of the odd-extended FFT work) + real Hartley
@@ -133,17 +156,21 @@ def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
     equals DFT filtering at 1/4 the matmul work).  Mathematically identical
     to the reference's odd-extension complex FFT (poisson.cu:75-103).
 
-    Every stage is a transpose-free MXU contraction; all normalizations
-    (inverse DST 4/NE, inverse Hartley 1/(NY*NX)) fold into one fused
-    spectral multiply, and the final z-stage matmul emits the wall rows
-    (overwritten in one fused select with the Dirichlet plate values)."""
+    The Dirichlet plate potentials enter through a z-linear lifting
+    function (see lifting_profile) rather than the reference's RHS folds,
+    so the transformed data stays at the charge scale and 3-pass matmuls
+    suffice in f32.  Every stage is a transpose-free MXU contraction; all
+    normalizations (inverse DST 4/NE, inverse Hartley 1/(NY*NX)) fold into
+    one fused spectral multiply, and the final z-stage matmul emits the
+    wall rows (overwritten in one fused select with the exact plate
+    values)."""
     from ..parallel.fft import dst_z, dst_z_padded, fft2_xy, hartley2_xy
 
     g = cfg.grid
     p = cfg.physics
     dtype = charge.dtype
 
-    rhs = interior_rhs(cfg, charge, chargen)
+    rhs = charge_rhs(cfg, charge, chargen)
     # combined scale: DST-I inverse (4/NE) and Hartley/DFT inverse (1/(NY*NX))
     inv_sym = _scaled_inv_symbol(cfg, dtype, 4.0 / (g.ne * g.ny * g.nx))
 
@@ -159,7 +186,7 @@ def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
         spec = fft2_xy(s_z, mesh, method=method) * inv_sym
         back = jnp.real(fft2_xy(spec, mesh, inverse=True, method=method)
                         ).astype(dtype) * dtype.type(g.ny * g.nx)
-    phi = dst_z_padded(back)
+    phi = dst_z_padded(back) + lifting_profile(cfg, dtype)
 
     zidx = jax.lax.broadcasted_iota(jnp.int32, (g.nz, 1, 1), 0)
     phi = jnp.where(zidx == 0, dtype.type(p.voltage), phi)

@@ -54,11 +54,17 @@ _EINSUM_3D = {0: "kz,zyx->kyx", 1: "ky,zyx->zkx", 2: "zyx,kx->zyk"}
 
 def _contract(mat, a, axis: int):
     """Apply (n, n) `mat` along `axis` of 3D `a`, transpose-free.
-    HIGHEST precision: TPU otherwise lowers the matmul to bf16, which
-    destroys the boundary-term cancellation in the Poisson RHS."""
+
+    f32 runs at HIGH (3-pass bf16 — near-f32 accuracy at half the MXU cost
+    of HIGHEST): the lifting-function formulation (ops/poisson.py) keeps
+    the data at the charge scale, so no catastrophic boundary-term
+    cancellation remains.  Complex (c64/c128) stages — the odd-extension
+    oracle — keep HIGHEST: they carry the ~1e13 plate folds."""
     sub = _EINSUM_3D[axis]
     args = (a, mat) if axis == 2 else (mat, a)
-    return jnp.einsum(sub, *args, precision=jax.lax.Precision.HIGHEST)
+    prec = (jax.lax.Precision.HIGH if a.dtype == jnp.float32
+            else jax.lax.Precision.HIGHEST)
+    return jnp.einsum(sub, *args, precision=prec)
 
 
 def _apply_dft(a, axis: int, inverse: bool):
