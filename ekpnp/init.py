@@ -76,7 +76,10 @@ def initialize(cfg: Config, dtype=None, mesh=None) -> tuple[State, Macro]:
 
 def state_from_macro(cfg: Config, macro: Macro, phi, E, t) -> State:
     """init_equilibrium (LBM.cu:162-463): populations = feq with per-field
-    drift velocity (ions: u + K E / u + Kn E)."""
+    drift velocity (ions: u + K E / u + Kn E).  E enters the equilibria
+    only — the returned State carries phi (E = -grad(phi) is re-derived
+    wherever consumed); pass E = ops.poisson.efield(cfg, phi) unless
+    reproducing the PB-init exit semantics (see ops/pbe.py)."""
     lat = cfg.lattice
     p = cfg.physics
     cfl, cs2 = p.cfl, cfg.cs2
@@ -91,4 +94,4 @@ def state_from_macro(cfg: Config, macro: Macro, phi, E, t) -> State:
         hn = feq(lat, macro.chargen, macro.u + Kn * E, cfl, cs2)
     if p.enable_thermal:
         g = feq(lat, macro.temp, macro.u, cfl, cs2)
-    return State(f=f, h=h, hn=hn, g=g, phi=phi, E=E, t=jnp.asarray(t, dtype))
+    return State(f=f, h=h, hn=hn, g=g, phi=phi, t=jnp.asarray(t, dtype))

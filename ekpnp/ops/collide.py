@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..state import Macro, State
 from .equilibrium import feq, lattice_consts, moments, trt_split
+from .poisson import efield
 
 
 class PostCollision(NamedTuple):
@@ -107,13 +108,14 @@ def _trt_update(lat, pops, eq, om_plus_dt, om_minus_dt, source=None, dt=None):
     return out
 
 
-def compute_macro(cfg: Config, state: State, perturb: bool = False):
+def compute_macro(cfg: Config, state: State, perturb: bool = False, E=None):
     """Macroscopic fields + body force from pre-collision populations.
 
     Exactly the first half of gpu_collide_save (LBM.cu:621-801): moments,
     Coulomb/external/Boussinesq body force, velocity with half-force
     correction, and the z=0 wall macroscopic extrapolation.
-    Returns (Macro, F).
+    E = -grad(state.phi) is derived here when not passed in (it is no
+    longer carried in State).  Returns (Macro, F).
     """
     lat = cfg.lattice
     p = cfg.physics
@@ -131,7 +133,9 @@ def compute_macro(cfg: Config, state: State, perturb: bool = False):
     temp = jnp.sum(state.g, axis=0) if p.enable_thermal else None
 
     # ---- body force (LBM.cu:632-637)
-    F = body_force(cfg, charge, chargen, temp, state.E, dtype)
+    if p.enable_ek and E is None:
+        E = efield(cfg, state.phi)
+    F = body_force(cfg, charge, chargen, temp, E, dtype)
 
     # ---- velocity with half-force correction (LBM.cu:639-644)
     numer = mom + 0.5 * dt * F  # mom already divided by CFL in moments()
@@ -166,7 +170,8 @@ def collide(cfg: Config, state: State, perturb: bool = False):
     cfl = p.cfl
     om = {k: dtype.type(v) for k, v in p.omegas(g.dx).items()}
 
-    macro, F = compute_macro(cfg, state, perturb)
+    E = efield(cfg, state.phi) if p.enable_ek else None
+    macro, F = compute_macro(cfg, state, perturb, E=E)
     rho, u = macro.rho, macro.u
     charge, chargen, temp = macro.charge, macro.chargen, macro.temp
 
@@ -188,8 +193,8 @@ def collide(cfg: Config, state: State, perturb: bool = False):
     if p.enable_ek:
         K = dtype.type(p.K)
         Kn = dtype.type(p.Kn)
-        feq_h = feq(lat, charge, u + K * state.E, cfl, cs2)
-        feq_hn = feq(lat, chargen, u + Kn * state.E, cfl, cs2)
+        feq_h = feq(lat, charge, u + K * E, cfl, cs2)
+        feq_hn = feq(lat, chargen, u + Kn * E, cfl, cs2)
         h2 = _trt_update(lat, state.h, feq_h, dt * om["omega_c_plus"], dt * om["omega_c_minus"])
         hn2 = _trt_update(
             lat, state.hn, feq_hn, dt * om["omega_cn_plus"], dt * om["omega_cn_minus"]

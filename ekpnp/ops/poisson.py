@@ -191,23 +191,31 @@ def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
     zidx = jax.lax.broadcasted_iota(jnp.int32, (g.nz, 1, 1), 0)
     phi = jnp.where(zidx == 0, dtype.type(p.voltage), phi)
     phi = jnp.where(zidx == g.nz - 1, dtype.type(p.voltage2), phi)
-    return phi, efield(cfg, phi)
+    return phi
 
 
-def poisson_solve(cfg: Config, charge, chargen, mesh=None):
-    """Dispatch: "fft" = odd-extension + jnp.fft (the n log n oracle, exact
-    reference semantics); "dst"/"matmul" = the reduced all-real MXU path;
-    "auto" = oracle on CPU, MXU path elsewhere."""
+def poisson_phi(cfg: Config, charge, chargen, mesh=None):
+    """One potential solve, phi only (E is the exact gradient of phi and is
+    derived where consumed — in-kernel on the Pallas path, `efield` on the
+    oracle path).  Dispatch: "fft" = odd-extension + jnp.fft (the n log n
+    oracle, exact reference semantics); "dst"/"matmul" = the reduced
+    all-real MXU path; "auto" = oracle on CPU, MXU path elsewhere."""
     m = cfg.run.fft_method
     if m == "fft":
-        return _poisson_solve_ext(cfg, charge, chargen, mesh)
+        return _poisson_phi_ext(cfg, charge, chargen, mesh)
     if m == "auto" and jax.default_backend() == "cpu":
-        return _poisson_solve_ext(cfg, charge, chargen, mesh)
+        return _poisson_phi_ext(cfg, charge, chargen, mesh)
     return poisson_solve_dst(cfg, charge, chargen, mesh)
 
 
-def _poisson_solve_ext(cfg: Config, charge, chargen, mesh=None):
-    """One potential solve: (c+, c-) -> (phi, E).  All on device, one jit.
+def poisson_solve(cfg: Config, charge, chargen, mesh=None):
+    """(phi, E) convenience wrapper around poisson_phi + efield."""
+    phi = poisson_phi(cfg, charge, chargen, mesh)
+    return phi, efield(cfg, phi)
+
+
+def _poisson_phi_ext(cfg: Config, charge, chargen, mesh=None):
+    """One potential solve: (c+, c-) -> phi.  All on device, one jit.
 
     With a mesh, the 3D transform runs as a distributed pencil FFT
     (parallel/fft.py) with all-to-all repartitions between 1D stages."""
@@ -235,9 +243,7 @@ def _poisson_solve_ext(cfg: Config, charge, chargen, mesh=None):
     phi = jnp.real(phi_ext[: g.nz]).astype(dtype)
     phi = phi.at[0].set(dtype.type(p.voltage))
     phi = phi.at[-1].set(dtype.type(p.voltage2))
-
-    E = efield(cfg, phi)
-    return phi, E
+    return phi
 
 
 def efield(cfg: Config, phi):

@@ -78,7 +78,11 @@ def _pick_ty(cfg, nfields: int, vmem_budget=64 * 1024 * 1024):
 
 def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      ty_override: int = 0):
-    """Returns fn(f, h, hn, g, E) -> (f1, h1, hn1, g1, c, cn)."""
+    """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, c, cn).
+
+    E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
+    pipeline (efield_planes) — the potential crosses HBM once instead of
+    three E components, and the XLA-side efield pass disappears."""
     lat = cfg.lattice
     if lat.Q != 27:
         raise ValueError("fused kernel supports D3Q27 only")
@@ -132,17 +136,18 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     def kernel(*refs):
         idx = 0
         in_pop = refs[idx : idx + nf]; idx += nf
-        in_E = refs[idx] if ek else None; idx += 1 if ek else 0
+        in_phi = refs[idx] if ek else None; idx += 1 if ek else 0
         out_pop = refs[idx : idx + nf]; idx += nf
         out_ccn = refs[idx] if ek else None; idx += 1 if ek else 0
         buf_in = refs[idx : idx + nf]; idx += nf
-        buf_E = refs[idx] if ek else None; idx += 1 if ek else 0
+        buf_phi = refs[idx] if ek else None; idx += 1 if ek else 0
         slot_pop = refs[idx : idx + nf]; idx += nf
         f_pin = refs[idx]; idx += 1
         emit_pop = refs[idx : idx + nf]; idx += nf       # (2, 27, TY, NX)
         wall_buf = refs[idx]; idx += 1                   # (27, TY, NX)
         cmom = refs[idx] if ek else None; idx += 1 if ek else 0
-        sem_in = refs[idx]; idx += 1                     # (2, n_in, 3)
+        sem_in = refs[idx]; idx += 1                     # (2, nf, 3)
+        sem_phi = refs[idx] if ek else None; idx += 1 if ek else 0  # (4, 3)
         sem_emit = refs[idx]; idx += 1                   # (nf, 2)
         sem_wall = refs[idx]; idx += 1                   # (2,)
         sem_cmom = refs[idx] if ek else None; idx += 1 if ek else 0
@@ -170,9 +175,6 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             srcs = [(in_pop[k], buf_in[k],
                      [sem_in.at[slot, k, i] for i in range(3)])
                     for k in range(nf)]
-            if ek:
-                srcs.append((in_E, buf_E,
-                             [sem_in.at[slot, nf, i] for i in range(3)]))
             out = []
             for src, dst, ksem in srcs:
                 for i, (sa, da, n) in enumerate(pieces):
@@ -180,6 +182,22 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                         src.at[:, plane, pl.ds(sa, n), :],
                         dst.at[slot, :, pl.ds(da, n), :], ksem[i]))
             return out
+
+        def _phi_pieces(case):
+            ym = pl.multiple_of(y0 - HALO, 8)
+            if case == "single":
+                return [(NY - HALO, 0, HALO), (0, HALO, TY), (0, TY + HALO, HALO)]
+            if case == "interior":
+                return [(ym, 0, WROWS)]
+            if case == "first":
+                return [(NY - HALO, 0, HALO), (0, HALO, TY + HALO)]
+            return [(ym, 0, TY + HALO), (0, TY + HALO, HALO)]
+
+        def _phi_copies(case, plane, slot):
+            return [pltpu.make_async_copy(
+                        in_phi.at[plane, pl.ds(sa, n), :],
+                        buf_phi.at[slot, pl.ds(da, n), :], sem_phi.at[slot, i])
+                    for i, (sa, da, n) in enumerate(_phi_pieces(case))]
 
         def _in_do(plane, action):
             slot = jax.lax.rem(jnp.int32(plane), jnp.int32(2))
@@ -209,6 +227,36 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         def wait_in(plane):
             _in_do(plane, lambda c: c.wait())
 
+        def _phi_do(plane, action):
+            slot = jax.lax.rem(jnp.int32(plane), jnp.int32(4))
+            if JY == 1:
+                for c in _phi_copies("single", plane, slot):
+                    action(c)
+                return
+
+            @pl.when(j == 0)
+            def _():
+                for c in _phi_copies("first", plane, slot):
+                    action(c)
+
+            @pl.when(j == JY - 1)
+            def _():
+                for c in _phi_copies("last", plane, slot):
+                    action(c)
+
+            @pl.when((j > 0) & (j < JY - 1))
+            def _():
+                for c in _phi_copies("interior", plane, slot):
+                    action(c)
+
+        def start_phi(plane):
+            if ek:
+                _phi_do(plane, lambda c: c.start())
+
+        def wait_phi(plane):
+            if ek:
+                _phi_do(plane, lambda c: c.wait())
+
         # ------------------------------------------------ collide
         # All collide stages stream direction-by-direction straight from the
         # input window refs and store straight into slot_pop: at no point is
@@ -219,8 +267,32 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             """(R, NX) plane rows [y0-1, y0+TY] = window rows [7, TY+9)."""
             return buf_in[k][in_slot, d, HALO - 1 : HALO - 1 + R, :]
 
-        def load_E(slot):
-            return [buf_E[slot, c, HALO - 1 : HALO - 1 + R, :] for c in range(3)]
+        def efield_planes(plane_s):
+            """E = -grad(phi) on the collide rows, from the 4-slot phi
+            window pipeline (reference gpu_efield + gpu_bc,
+            poisson.cu:28-69): centered differences, periodic in x (lane
+            roll) and y (window halo rows carry the wrap), and the one-sided
+            Ez copy at the plates (Ez[0] = Ez[1] = (phi0 - phi2)/2dz,
+            Ez[NZ-1] = Ez[NZ-2] = (phi[NZ-3] - phi[NZ-1])/2dz)."""
+            if isinstance(plane_s, int):
+                pm = max(plane_s - 1, 0)
+                pp = 2 if plane_s == 0 else plane_s + 1
+                sm, s0, sp = pm % 4, plane_s % 4, pp % 4
+            else:
+                four = jnp.int32(4)
+                pm = jnp.where(plane_s == NZ - 1, NZ - 3, plane_s - 1)
+                pp = jnp.where(plane_s == NZ - 1, NZ - 1, plane_s + 1)
+                sm = jax.lax.rem(jnp.int32(pm), four)
+                s0 = jax.lax.rem(jnp.int32(plane_s), four)
+                sp = jax.lax.rem(jnp.int32(pp), four)
+            phic = buf_phi[s0, HALO - 1 : HALO - 1 + R, :]
+            Ex = (pltpu.roll(phic, 1, axis=1)
+                  - pltpu.roll(phic, NX - 1, axis=1)) * cst(0.5 / g.dx)
+            Ey = (buf_phi[s0, HALO - 2 : HALO - 2 + R, :]
+                  - buf_phi[s0, HALO : HALO + R, :]) * cst(0.5 / g.dy)
+            Ez = (buf_phi[sm, HALO - 1 : HALO - 1 + R, :]
+                  - buf_phi[sp, HALO - 1 : HALO - 1 + R, :]) * cst(0.5 / g.dz)
+            return Ex, Ey, Ez
 
         # pair structure of D3Q27: OPP[i] == i+1 for odd i (LBM.cu:1148-1202)
         PAIRS = [(i, i + 1) for i in range(1, 27, 2)]
@@ -341,7 +413,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
             # body force (LBM.cu:632-637)
             if ek:
-                Ex, Ey, Ez = load_E(in_slot)
+                Ex, Ey, Ez = efield_planes(plane_s)
                 q = cst(kappa) * (c - cn)
                 fx = q * (Ex + cst(p.ext_field)) + cst(p.exf)
                 fy = q * Ey
@@ -494,11 +566,17 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         def _():
             start_in(0)
             start_in(1)
+            start_phi(0)
+            start_phi(1)
+            start_phi(2)
             wait_in(0)
 
         @pl.when(s == 1)
         def _():
             wait_in(1)
+            wait_phi(0)
+            wait_phi(1)
+            wait_phi(2)
             numer1 = []
             collide_plane(1, 1, numer_out=numer1)
             nx1, ny1, nz1 = numer1
@@ -508,6 +586,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
             collide_plane(0, 0, u_override=wall_u, is_lower_wall=True)
             start_in(2)
+            start_phi(3)
             for d in range(27):
                 f_pin[d] = slot_pop[0][0, d]
 
@@ -517,7 +596,12 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
             @pl.when(s + 1 < NZ)
             def _():
+                wait_phi(s + 1)
                 start_in(s + 1)
+
+            @pl.when(s + 2 < NZ)
+            def _():
+                start_phi(s + 2)
 
             collide_plane(s, jax.lax.rem(s, jnp.int32(3)))
 
@@ -569,7 +653,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     for _ in range(nf):
         scratch.append(pltpu.VMEM((2, 27, WROWS, NX), dtype))  # input windows
     if ek:
-        scratch.append(pltpu.VMEM((2, 3, WROWS, NX), dtype))   # E windows
+        scratch.append(pltpu.VMEM((4, WROWS, NX), dtype))      # phi windows
     for _ in range(nf):
         scratch.append(pltpu.VMEM((3, 27, R, NX), dtype))      # post slots
     scratch.append(pltpu.VMEM((27, R, NX), dtype))             # f_pin
@@ -578,7 +662,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     scratch.append(pltpu.VMEM((27, TY, NX), dtype))            # wall buf
     if ek:
         scratch.append(pltpu.VMEM((2, 2, TY, NX), dtype))      # cmom dbl-buf
-    scratch.append(pltpu.SemaphoreType.DMA((2, n_in, 3)))      # sem_in
+    scratch.append(pltpu.SemaphoreType.DMA((2, nf, 3)))        # sem_in
+    if ek:
+        scratch.append(pltpu.SemaphoreType.DMA((4, 3)))        # sem_phi
     scratch.append(pltpu.SemaphoreType.DMA((nf, 2)))           # sem_emit
     scratch.append(pltpu.SemaphoreType.DMA((2,)))              # sem_wall
     if ek:
@@ -598,14 +684,14 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         interpret=interpret,
     )
 
-    def apply(f, h=None, hn=None, g_=None, E=None):
+    def apply(f, h=None, hn=None, g_=None, phi=None):
         args = [f]
         if ek:
             args += [h, hn]
         if thermal:
             args.append(g_)
         if ek:
-            args.append(E)
+            args.append(phi)
         outs = list(fused(*args))
         f1 = outs.pop(0)
         h1 = outs.pop(0) if ek else None

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..ops.poisson import poisson_solve
+from ..ops.poisson import poisson_phi
 from ..state import State
 from .fused_step import build_fused_step
 
@@ -31,13 +31,13 @@ def step_pallas(cfg: Config, state: State, mesh=None, interpret: bool = False,
     stores in collide and feeds to fast_Poisson)."""
     p = cfg.physics
     fused = _get_fused(cfg, state.f.dtype.name, interpret, ty_override)
-    f1, h1, hn1, g1, c, cn = fused(state.f, state.h, state.hn, state.g, state.E)
-    phi, E = state.phi, state.E
+    f1, h1, hn1, g1, c, cn = fused(state.f, state.h, state.hn, state.g, state.phi)
+    phi = state.phi
     if p.enable_ek:
-        phi, E = poisson_solve(cfg, c, cn, mesh)
+        phi = poisson_phi(cfg, c, cn, mesh)
     dt = state.t.dtype.type(p.dt(cfg.grid.dx))
     return (
-        State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, E=E, t=state.t + dt),
+        State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, t=state.t + dt),
         (c, cn),
     )
 

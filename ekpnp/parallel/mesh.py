@@ -90,7 +90,6 @@ def state_shardings(cfg, mesh: Mesh) -> State:
         hn=pop if ek else None,
         g=pop if th else None,
         phi=ns(scalar_spec(mesh)) if ek else None,
-        E=ns(vector_spec(mesh)) if ek else None,
         t=ns(P()),
     )
 

@@ -105,13 +105,22 @@ def cmd_run(args):
         state, _ = initialize(cfg)
 
     macro_fn = jax.jit(compute_macro, static_argnums=(0,))
+    from .ops.poisson import efield
+
+    def efield_now(st):
+        """E = -grad(phi) for I/O and diagnostics (E is not state)."""
+        if not cfg.physics.enable_ek:
+            return None
+        return jax.jit(lambda ph: efield(cfg, ph))(st.phi)
+
     macro, _ = macro_fn(cfg, state)
+    E_io = efield_now(state)
 
     fout = open(os.path.join(outdir, "data.dat"), "w")
     fumax = open(os.path.join(outdir, "umax.dat"), "w")
     fcsv = open(os.path.join(outdir, "series.csv"), "w")
     fcsv.write("step,t,umax_uz,umax_mag,current,mean_T\n")
-    tecplot.write_zone(fout, cfg, macro, state.phi, state.E, float(state.t), first=True)
+    tecplot.write_zone(fout, cfg, macro, state.phi, E_io, float(state.t), first=True)
 
     nsteps = cfg.run.nsteps
     nsave = max(1, cfg.run.nsave)
@@ -135,10 +144,11 @@ def cmd_run(args):
 
         if done % ncur == 0 or done == nsteps:
             macro, _ = macro_fn(cfg, state)
+            E_io = efield_now(state)
             um = float(umax(macro.u))
             umag = float(velocity_magnitude_max(macro.u))
             cur = (
-                float(ionic_current(cfg, macro.charge, macro.chargen, state.E[2]))
+                float(ionic_current(cfg, macro.charge, macro.chargen, E_io[2]))
                 if cfg.physics.enable_ek
                 else 0.0
             )
@@ -156,7 +166,7 @@ def cmd_run(args):
 
         if done % nsave == 0 and done < nsteps:
             macro, _ = macro_fn(cfg, state)
-            tecplot.write_zone(fout, cfg, macro, state.phi, state.E, float(state.t))
+            tecplot.write_zone(fout, cfg, macro, state.phi, efield_now(state), float(state.t))
 
     jax.block_until_ready(state.f)
     runtime = time.perf_counter() - t0
@@ -164,16 +174,17 @@ def cmd_run(args):
     mlups = nodes_updated / (1e6 * runtime)
 
     macro, _ = macro_fn(cfg, state)
-    tecplot.write_zone(fout, cfg, macro, state.phi, state.E, float(state.t))
+    E_io = efield_now(state)
+    tecplot.write_zone(fout, cfg, macro, state.phi, E_io, float(state.t))
     fout.close()
     fumax.close()
     fcsv.close()
 
     ckpt.save_npz(
-        os.path.join(outdir, "data_end.npz"), cfg, macro, state.phi, state.E, float(state.t)
+        os.path.join(outdir, "data_end.npz"), cfg, macro, state.phi, E_io, float(state.t)
     )
     ckpt.save_reference_ascii(
-        os.path.join(outdir, "data_end.dat"), cfg, macro, state.phi, state.E, float(state.t)
+        os.path.join(outdir, "data_end.dat"), cfg, macro, state.phi, E_io, float(state.t)
     )
 
     print(" ----- performance information -----")

@@ -31,8 +31,11 @@ class State(NamedTuple):
     h: Optional[Array]       # (+) ion populations, or None if EK disabled
     hn: Optional[Array]      # (-) ion populations
     g: Optional[Array]       # temperature populations, or None
-    phi: Optional[Array]     # electric potential, (Z, Y, X)
-    E: Optional[Array]       # electric field, (3, Z, Y, X)
+    phi: Optional[Array]     # electric potential, (Z, Y, X); E = -grad(phi)
+    #   The electric field is NOT state: it is always the exact gradient of
+    #   phi (reference gpu_efield, poisson.cu:40-69), so it is re-derived
+    #   where needed — in-kernel from phi windows on the Pallas path,
+    #   via ops.poisson.efield on the oracle path and at I/O cadence.
     t: Array                 # physical time, scalar
 
 
@@ -63,6 +66,5 @@ def zeros_state(cfg, dtype=None) -> State:
         hn=zeros(shape) if ek else None,
         g=zeros(shape) if th else None,
         phi=zeros(cfg.grid.shape) if ek else None,
-        E=zeros((3,) + cfg.grid.shape) if ek else None,
         t=jnp.zeros((), dtype),
     )

@@ -20,7 +20,7 @@ import jax
 from .config import Config
 from .ops.boundary import bounce_back_walls, scalar_wall_bcs
 from .ops.collide import collide
-from .ops.poisson import poisson_solve
+from .ops.poisson import poisson_phi
 from .ops.stream import stream
 from .state import Macro, State
 
@@ -42,21 +42,21 @@ def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[S
 
     f1 = stream(lat, f2)
     h1 = hn1 = g1 = None
-    phi, E = state.phi, state.E
+    phi = state.phi
 
     if p.enable_ek:
         h1 = stream(lat, post.h)
         hn1 = stream(lat, post.hn)
         h1 = scalar_wall_bcs(cfg, h1, post.h, "noflux")
         hn1 = scalar_wall_bcs(cfg, hn1, post.hn, "noflux")
-        phi, E = poisson_solve(cfg, macro.charge, macro.chargen, mesh)
+        phi = poisson_phi(cfg, macro.charge, macro.chargen, mesh)
 
     if p.enable_thermal:
         g1 = stream(lat, post.g)
         g1 = scalar_wall_bcs(cfg, g1, post.g, "temperature")
 
     dt = state.t.dtype.type(p.dt(cfg.grid.dx))
-    new = State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, E=E, t=state.t + dt)
+    new = State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, t=state.t + dt)
     return new, macro
 
 

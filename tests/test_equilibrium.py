@@ -67,9 +67,12 @@ def _random_state(cfg, seed=3):
     h = jnp.asarray(0.01 * w * (1.0 + 0.01 * rng.normal(size=shape)))
     hn = jnp.asarray(0.01 * w * (1.0 + 0.01 * rng.normal(size=shape)))
     g = jnp.asarray(0.5 * w * (1.0 + 0.01 * rng.normal(size=shape)))
-    E = jnp.asarray(1e2 * rng.normal(size=(3,) + cfg.grid.shape))
-    phi = jnp.zeros(cfg.grid.shape)
-    return State(f=f, h=h, hn=hn, g=g, phi=phi, E=E, t=jnp.zeros(()))
+    # a non-trivial potential so E = -grad(phi) exercises the force terms
+    zyx = np.stack(np.meshgrid(
+        np.arange(cfg.grid.nz), np.arange(cfg.grid.ny), np.arange(cfg.grid.nx),
+        indexing="ij"))
+    phi = jnp.asarray(1e-3 * np.sin(zyx * (2 * np.pi / 7)).sum(axis=0))
+    return State(f=f, h=h, hn=hn, g=g, phi=phi, t=jnp.zeros(()))
 
 
 def test_collide_conserves_mass():

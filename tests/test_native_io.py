@@ -54,8 +54,10 @@ def test_checkpoint_ascii_uses_native(tmp_path):
     from ekpnp.io.checkpoint import load_reference_ascii, save_reference_ascii
 
     cfg = preset("reference", nx=8, ny=8, nz=9)
+    from ekpnp.ops.poisson import efield
+
     state, macro = initialize(cfg)
-    phi, E = state.phi, state.E
+    phi, E = state.phi, efield(cfg, state.phi)
     p = tmp_path / "data_end.dat"
     save_reference_ascii(str(p), cfg, macro, phi, E, t=1.5e-9)
     st = load_reference_ascii(str(p), cfg)

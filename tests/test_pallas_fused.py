@@ -29,10 +29,12 @@ def _compare(cfg, steps=2, ty=0, atol_E=1e-8):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13, err_msg=name
         )
-    if s_ref.E is not None:
+    if s_ref.phi is not None:
+        from ekpnp.ops.poisson import efield
+
         np.testing.assert_allclose(
-            np.asarray(s_ref.E), np.asarray(s_pal.E), rtol=1e-11, atol=atol_E,
-            err_msg="E",
+            np.asarray(efield(cfg, s_ref.phi)), np.asarray(efield(cfg, s_pal.phi)),
+            rtol=1e-11, atol=atol_E, err_msg="E",
         )
 
 

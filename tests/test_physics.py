@@ -119,7 +119,10 @@ def test_restart_semantics():
     cfg = preset("reference")
     state, _ = initialize(cfg)
     state, macro = run_steps(cfg, state, 3)
-    restored = state_from_macro(cfg, macro, state.phi, state.E, float(state.t))
+    from ekpnp.ops.poisson import efield
+
+    restored = state_from_macro(
+        cfg, macro, state.phi, efield(cfg, state.phi), float(state.t))
     macro2, _ = compute_macro(cfg, restored)
     np.testing.assert_allclose(np.asarray(macro2.rho), np.asarray(macro.rho), rtol=1e-12)
     np.testing.assert_allclose(

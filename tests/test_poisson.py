@@ -101,15 +101,16 @@ def test_debye_huckel_double_layer():
 def test_dst_hartley_matches_odd_extension_oracle():
     """The reduced all-real solve (DST-I in z + Hartley in x,y) must equal
     the reference-shaped odd-extension complex-FFT solve to roundoff."""
-    from ekpnp.ops.poisson import _poisson_solve_ext, poisson_solve_dst
+    from ekpnp.ops.poisson import _poisson_phi_ext, efield, poisson_solve_dst
 
     rng = np.random.default_rng(3)
     c = jnp.asarray(rng.random((9, 8, 16)))
     cn = jnp.asarray(rng.random((9, 8, 16)))
     cfg_mm = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul")
     cfg_ff = preset("reference", nx=16, ny=8, nz=9, fft_method="fft")
-    phi_h, E_h = poisson_solve_dst(cfg_mm, c, cn)   # hartley (matmul) path
-    phi_e, E_e = _poisson_solve_ext(cfg_ff, c, cn)  # odd-extension oracle
+    phi_h = poisson_solve_dst(cfg_mm, c, cn)        # hartley (matmul) path
+    phi_e = _poisson_phi_ext(cfg_ff, c, cn)         # odd-extension oracle
+    E_h, E_e = efield(cfg_mm, phi_h), efield(cfg_ff, phi_e)
     scale = float(jnp.max(jnp.abs(phi_e)))
     np.testing.assert_allclose(np.asarray(phi_h), np.asarray(phi_e), atol=1e-14 * max(scale, 1))
     np.testing.assert_allclose(np.asarray(E_h), np.asarray(E_e), atol=1e-6)

@@ -32,23 +32,19 @@ def test_single_vs_multichip_equality(eight_devices, pencil):
     for _ in range(3):
         s8, m8 = step_fn(s8)
 
-    # E = grad(phi)/(2 dz) amplifies phi roundoff by 1/dz = 1e8: collective
-    # reduction order shifts phi by ~1e-18, i.e. E by ~1e-10 absolute.
     tols = dict(atol=1e-14, rtol=1e-12)
-    e_tols = dict(atol=1e-8, rtol=1e-12)
     for a, b, name in [
         (s1.f, s8.f, "f"),
         (s1.h, s8.h, "h"),
         (s1.hn, s8.hn, "hn"),
         (s1.g, s8.g, "g"),
         (s1.phi, s8.phi, "phi"),
-        (s1.E, s8.E, "E"),
     ]:
         np.testing.assert_allclose(
             np.asarray(a),
             np.asarray(b),
             err_msg=name,
-            **(e_tols if name == "E" else tols),
+            **tols,
         )
 
 
