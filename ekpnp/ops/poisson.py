@@ -170,7 +170,18 @@ def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
     p = cfg.physics
     dtype = charge.dtype
 
-    rhs = charge_rhs(cfg, charge, chargen)
+    return poisson_phi_from_rhs(cfg, charge_rhs(cfg, charge, chargen), mesh)
+
+
+def poisson_phi_from_rhs(cfg: Config, rhs, mesh=None):
+    """The DST/Hartley solve core, taking the interior RHS rows z=1..NZ-2
+    directly (the fused kernel emits them, pallas/fused_step.py)."""
+    from ..parallel.fft import dst_z, dst_z_padded, fft2_xy, hartley2_xy
+
+    g = cfg.grid
+    p = cfg.physics
+    dtype = rhs.dtype
+
     # combined scale: DST-I inverse (4/NE) and Hartley/DFT inverse (1/(NY*NX))
     inv_sym = _scaled_inv_symbol(cfg, dtype, 4.0 / (g.ne * g.ny * g.nx))
 

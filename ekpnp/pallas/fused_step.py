@@ -29,9 +29,10 @@ Design — a sequential z-pipeline over y-strips, grid = (NY/TY, NZ+1):
                 z-wrap (reference LBM.cu:1970-1975) — use a dedicated
                 synchronous buffer.
 
-The kernel also emits the pre-collision ion moments (c+, c-) per plane —
-the Poisson solve consumes them directly, so no separate moment pass ever
-touches HBM.
+The kernel also emits the Poisson RHS -convertCtoCharge (c+ - c-) / eps
+per plane, computed from the pre-collision ion moments it already takes for
+the Coulomb force — the spectral solve's first matmul consumes it directly,
+so neither a separate moment pass nor an RHS-build pass ever touches HBM.
 
 Alignment rules learned from Mosaic: every DMA ref slice must start at a
 sublane-tile-aligned row when NX spans more than one lane tile, so all
@@ -78,7 +79,7 @@ def _pick_ty(cfg, nfields: int, vmem_budget=64 * 1024 * 1024):
 
 def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      ty_override: int = 0):
-    """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, c, cn).
+    """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).
 
     E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
     pipeline (efield_planes) — the potential crosses HBM once instead of
@@ -138,14 +139,14 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         in_pop = refs[idx : idx + nf]; idx += nf
         in_phi = refs[idx] if ek else None; idx += 1 if ek else 0
         out_pop = refs[idx : idx + nf]; idx += nf
-        out_ccn = refs[idx] if ek else None; idx += 1 if ek else 0
+        out_rhs = refs[idx] if ek else None; idx += 1 if ek else 0
         buf_in = refs[idx : idx + nf]; idx += nf
         buf_phi = refs[idx] if ek else None; idx += 1 if ek else 0
         slot_pop = refs[idx : idx + nf]; idx += nf
         f_pin = refs[idx]; idx += 1
         emit_pop = refs[idx : idx + nf]; idx += nf       # (2, 27, TY, NX)
         wall_buf = refs[idx]; idx += 1                   # (27, TY, NX)
-        cmom = refs[idx] if ek else None; idx += 1 if ek else 0
+        rhsb = refs[idx] if ek else None; idx += 1 if ek else 0
         sem_in = refs[idx]; idx += 1                     # (2, nf, 3)
         sem_phi = refs[idx] if ek else None; idx += 1 if ek else 0  # (4, 3)
         sem_emit = refs[idx]; idx += 1                   # (nf, 2)
@@ -437,10 +438,12 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             else:
                 ux, uy, uz = nx_ * inv_rho, ny_ * inv_rho, nz_ * inv_rho
 
-            # pre-collision ion moments out (consumed by the Poisson solve).
-            # Double-buffered async: a synchronous wait here would queue
-            # behind the in-flight window/emit DMAs and serialize every
-            # plane step (measured ~7 ms/step at 256^3).
+            # Poisson RHS out: -convertCtoCharge (c+ - c-)/eps from the
+            # pre-collision moments (odd_extension interior rows,
+            # poisson.cu:118-137) — the spectral solve consumes it with no
+            # RHS-build pass.  Double-buffered async: a synchronous wait
+            # here would queue behind the in-flight window/emit DMAs and
+            # serialize every plane step (measured ~7 ms/step at 256^3).
             if ek:
                 cb = jax.lax.rem(jnp.int32(plane_s), jnp.int32(2))
                 if isinstance(plane_s, int):
@@ -449,13 +452,12 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                     @pl.when(plane_s >= 2)
                     def _():
                         pltpu.make_async_copy(
-                            cmom.at[cb],
-                            out_ccn.at[:, plane_s - 2, pl.ds(y0, TY), :],
+                            rhsb.at[cb],
+                            out_rhs.at[plane_s - 2, pl.ds(y0, TY), :],
                             sem_cmom.at[cb]).wait()
-                cmom[cb, 0] = c[1 : TY + 1]
-                cmom[cb, 1] = cn[1 : TY + 1]
+                rhsb[cb] = (cn[1 : TY + 1] - c[1 : TY + 1]) * cst(kappa / p.eps)
                 pltpu.make_async_copy(
-                    cmom.at[cb], out_ccn.at[:, plane_s, pl.ds(y0, TY), :],
+                    rhsb.at[cb], out_rhs.at[plane_s, pl.ds(y0, TY), :],
                     sem_cmom.at[cb]).start()
 
             if is_lower_wall or is_upper_wall:
@@ -627,8 +629,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             if ek:
                 for plane in (NZ - 2, NZ - 1):
                     pltpu.make_async_copy(
-                        cmom.at[plane % 2],
-                        out_ccn.at[:, plane, pl.ds(y0, TY), :],
+                        rhsb.at[plane % 2],
+                        out_rhs.at[plane, pl.ds(y0, TY), :],
                         sem_cmom.at[plane % 2]).wait()
             emit_wall(NZ - 1, slot_e=(NZ - 1) % 3, f_src_for_down=f_pin)
             slot_top = (NZ - 1) % 3
@@ -646,7 +648,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     out_shapes = [jax.ShapeDtypeStruct(pop_shape, dtype) for _ in range(nf)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(nf)]
     if ek:
-        out_shapes.append(jax.ShapeDtypeStruct((2, NZ, NY, NX), dtype))
+        out_shapes.append(jax.ShapeDtypeStruct((NZ, NY, NX), dtype))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     scratch = []
@@ -661,7 +663,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         scratch.append(pltpu.VMEM((2, 27, TY, NX), dtype))     # emit dbl-buf
     scratch.append(pltpu.VMEM((27, TY, NX), dtype))            # wall buf
     if ek:
-        scratch.append(pltpu.VMEM((2, 2, TY, NX), dtype))      # cmom dbl-buf
+        scratch.append(pltpu.VMEM((2, TY, NX), dtype))         # rhs dbl-buf
     scratch.append(pltpu.SemaphoreType.DMA((2, nf, 3)))        # sem_in
     if ek:
         scratch.append(pltpu.SemaphoreType.DMA((4, 3)))        # sem_phi
@@ -697,10 +699,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         h1 = outs.pop(0) if ek else None
         hn1 = outs.pop(0) if ek else None
         g1 = outs.pop(0) if thermal else None
-        c = cn = None
-        if ek:
-            ccn = outs.pop(0)
-            c, cn = ccn[0], ccn[1]
-        return f1, h1, hn1, g1, c, cn
+        rhs = outs.pop(0) if ek else None
+        return f1, h1, hn1, g1, rhs
 
     return apply
