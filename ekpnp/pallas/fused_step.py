@@ -78,12 +78,19 @@ def _pick_ty(cfg, nfields: int, vmem_budget=64 * 1024 * 1024):
 
 
 def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
-                     ty_override: int = 0):
+                     ty_override: int = 0, halo: bool = False):
     """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).
 
     E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
     pipeline (efield_planes) — the potential crosses HBM once instead of
-    three E components, and the XLA-side efield pass disappears."""
+    three E components, and the XLA-side efield pass disappears.
+
+    halo=True is the multi-chip per-shard form (parallel/halo.py): the
+    grid is this shard's local y-range and the periodic y-wrap window
+    pieces read from explicit halo-block inputs — the 8-row-aligned blocks
+    adjacent to the shard, exchanged over ICI with ppermute — instead of
+    wrapping locally.  fn then takes (f, h, hn, g, phi, lo..., hi...,
+    phi_lo, phi_hi) where lo/hi are per-field (27, NZ, 8, NX) blocks."""
     lat = cfg.lattice
     if lat.Q != 27:
         raise ValueError("fused kernel supports D3Q27 only")
@@ -133,11 +140,18 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     s_minus = 1.0 - 0.5 * dt * om["omega_minus"]
 
     n_in = nf + (1 if ek else 0)
+    if halo:
+        n_in += 2 * nf + (2 if ek else 0)
 
     def kernel(*refs):
         idx = 0
         in_pop = refs[idx : idx + nf]; idx += nf
         in_phi = refs[idx] if ek else None; idx += 1 if ek else 0
+        if halo:
+            in_lo = refs[idx : idx + nf]; idx += nf
+            in_hi = refs[idx : idx + nf]; idx += nf
+            in_phi_lo = refs[idx] if ek else None; idx += 1 if ek else 0
+            in_phi_hi = refs[idx] if ek else None; idx += 1 if ek else 0
         out_pop = refs[idx : idx + nf]; idx += nf
         out_rhs = refs[idx] if ek else None; idx += 1 if ek else 0
         buf_in = refs[idx : idx + nf]; idx += nf
@@ -158,47 +172,54 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         y0 = pl.multiple_of(j * TY, 8)
 
         # ------------------------------------------------ input DMA
-        def _case_copies(case, plane, slot):
-            """Copy descriptors for the [y0-8, y0+TY+8) row window, built
-            only for the selected strip case (unused descriptors are
-            rejected by Pallas).  Each piece maps source rows [sa, sa+n) of
-            the plane to window rows [da, da+n)."""
+        def _pieces(case):
+            """(src_kind, src_row, window_row, n) pieces assembling the
+            [y0-8, y0+TY+8) window.  "lo"/"hi" are the periodic wrap
+            blocks: rows [NY-8, NY) / [0, 8) of the full array locally, or
+            the neighbor shards' edge blocks (halo inputs) multi-chip."""
             ym = pl.multiple_of(y0 - HALO, 8)
             if case == "single":      # JY == 1: wraps both ends
-                pieces = [(NY - HALO, 0, HALO), (0, HALO, TY), (0, TY + HALO, HALO)]
-            elif case == "interior":
-                pieces = [(ym, 0, WROWS)]
-            elif case == "first":
-                pieces = [(NY - HALO, 0, HALO), (0, HALO, TY + HALO)]
-            else:                      # "last"
-                pieces = [(ym, 0, TY + HALO), (0, TY + HALO, HALO)]
-
-            srcs = [(in_pop[k], buf_in[k],
-                     [sem_in.at[slot, k, i] for i in range(3)])
-                    for k in range(nf)]
-            out = []
-            for src, dst, ksem in srcs:
-                for i, (sa, da, n) in enumerate(pieces):
-                    out.append(pltpu.make_async_copy(
-                        src.at[:, plane, pl.ds(sa, n), :],
-                        dst.at[slot, :, pl.ds(da, n), :], ksem[i]))
-            return out
-
-        def _phi_pieces(case):
-            ym = pl.multiple_of(y0 - HALO, 8)
-            if case == "single":
-                return [(NY - HALO, 0, HALO), (0, HALO, TY), (0, TY + HALO, HALO)]
+                return [("lo", 0, 0, HALO), ("main", 0, HALO, TY),
+                        ("hi", 0, TY + HALO, HALO)]
             if case == "interior":
-                return [(ym, 0, WROWS)]
+                return [("main", ym, 0, WROWS)]
             if case == "first":
-                return [(NY - HALO, 0, HALO), (0, HALO, TY + HALO)]
-            return [(ym, 0, TY + HALO), (0, TY + HALO, HALO)]
+                return [("lo", 0, 0, HALO), ("main", 0, HALO, TY + HALO)]
+            return [("main", ym, 0, TY + HALO), ("hi", 0, TY + HALO, HALO)]
+
+        def _pop_src(kind, k, plane, sa, n):
+            if kind == "main":
+                return in_pop[k].at[:, plane, pl.ds(sa, n), :]
+            if halo:
+                arr = in_lo[k] if kind == "lo" else in_hi[k]
+                return arr.at[:, plane, pl.ds(0, n), :]
+            sa = NY - HALO if kind == "lo" else 0
+            return in_pop[k].at[:, plane, pl.ds(sa, n), :]
+
+        def _phi_src(kind, plane, sa, n):
+            if kind == "main":
+                return in_phi.at[plane, pl.ds(sa, n), :]
+            if halo:
+                arr = in_phi_lo if kind == "lo" else in_phi_hi
+                return arr.at[plane, pl.ds(0, n), :]
+            sa = NY - HALO if kind == "lo" else 0
+            return in_phi.at[plane, pl.ds(sa, n), :]
+
+        def _case_copies(case, plane, slot):
+            out = []
+            for k in range(nf):
+                for i, (kind, sa, da, n) in enumerate(_pieces(case)):
+                    out.append(pltpu.make_async_copy(
+                        _pop_src(kind, k, plane, sa, n),
+                        buf_in[k].at[slot, :, pl.ds(da, n), :],
+                        sem_in.at[slot, k, i]))
+            return out
 
         def _phi_copies(case, plane, slot):
             return [pltpu.make_async_copy(
-                        in_phi.at[plane, pl.ds(sa, n), :],
+                        _phi_src(kind, plane, sa, n),
                         buf_phi.at[slot, pl.ds(da, n), :], sem_phi.at[slot, i])
-                    for i, (sa, da, n) in enumerate(_phi_pieces(case))]
+                    for i, (kind, sa, da, n) in enumerate(_pieces(case))]
 
         def _in_do(plane, action):
             slot = jax.lax.rem(jnp.int32(plane), jnp.int32(2))
@@ -686,7 +707,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         interpret=interpret,
     )
 
-    def apply(f, h=None, hn=None, g_=None, phi=None):
+    def apply(f, h=None, hn=None, g_=None, phi=None,
+              lo=None, hi=None, phi_lo=None, phi_hi=None):
         args = [f]
         if ek:
             args += [h, hn]
@@ -694,6 +716,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             args.append(g_)
         if ek:
             args.append(phi)
+        if halo:
+            args += list(lo) + list(hi)
+            if ek:
+                args += [phi_lo, phi_hi]
         outs = list(fused(*args))
         f1 = outs.pop(0)
         h1 = outs.pop(0) if ek else None

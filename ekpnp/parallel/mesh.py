@@ -149,7 +149,19 @@ def make_sharded_step(cfg, mesh: Mesh):
 
 
 def make_sharded_multi_step(cfg, mesh: Mesh, n: int):
-    """n fused steps under one jit with stable shardings."""
+    """n fused steps under one jit with stable shardings.
+
+    Dispatch: the shard_map + Pallas + ppermute fast path (parallel/halo.py)
+    when the mesh is a y-slab and the Pallas kernel is enabled; the GSPMD
+    jnp-oracle path otherwise (pencil meshes, CPU, use_pallas=False)."""
+    import jax as _jax
+
+    if cfg.run.use_pallas and _jax.default_backend() != "cpu":
+        from .halo import make_halo_multi_step, supports_halo_step
+
+        if supports_halo_step(cfg, mesh):
+            return make_halo_multi_step(cfg, mesh, n)
+
     from ..step import step
 
     cfg = _gspmd_cfg(cfg)

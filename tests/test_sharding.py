@@ -64,3 +64,32 @@ def test_indivisible_mesh_rejected(eight_devices):
     state, _ = initialize(cfg)
     with pytest.raises(ValueError, match="not divisible"):
         pmesh.shard_state(cfg, m, state)
+
+
+def test_halo_shardmap_matches_single_pallas(eight_devices):
+    """The multi-chip fast path (fused Pallas kernel per y-shard +
+    ppermute halo blocks, parallel/halo.py) must reproduce the
+    single-device fused step to f64 roundoff."""
+    from ekpnp.parallel import halo as phalo
+    from ekpnp.pallas.step import step_pallas
+
+    cfg = preset(
+        "reference", nx=16, ny=32, nz=9, fft_method="matmul", use_pallas=True
+    )
+    state, _ = initialize(cfg)
+
+    s1 = state
+    for _ in range(2):
+        s1, _ = step_pallas(cfg, s1, interpret=True)
+
+    m = pmesh.make_mesh(eight_devices[:4], pencil=False)
+    assert phalo.supports_halo_step(cfg, m)
+    s4 = pmesh.shard_state(cfg, m, state)
+    for _ in range(2):
+        s4 = phalo.step_halo(cfg, s4, m, interpret=True)
+
+    for name in ("f", "h", "hn", "g", "phi"):
+        a, b = getattr(s1, name), getattr(s4, name)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13, err_msg=name
+        )
