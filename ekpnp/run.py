@@ -64,6 +64,12 @@ def cmd_run(args):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        # multi-host runtime (SURVEY.md §2.5): every host runs this same
+        # program; coordinator/process env comes from the cluster launcher
+        import jax
+
+        jax.distributed.initialize()
     cfg = build_config(args)
     if cfg.run.dtype == "float64":
         import jax
@@ -104,6 +110,17 @@ def cmd_run(args):
         print("Initializing (PB double-layer relaxation)...")
         state, _ = initialize(cfg)
 
+    mesh = None
+    if args.mesh:
+        from .parallel import mesh as pmesh
+
+        devs = jax.devices()
+        if args.mesh_devices:
+            devs = devs[: args.mesh_devices]
+        mesh = pmesh.make_mesh(devs, pencil=(args.mesh == "pencil"))
+        state = pmesh.shard_state(cfg, mesh, state)
+        print(f"  mesh: {dict(mesh.shape)} over {len(devs)} devices")
+
     macro_fn = jax.jit(compute_macro, static_argnums=(0,))
     from .ops.poisson import efield
 
@@ -126,11 +143,29 @@ def cmd_run(args):
     nsave = max(1, cfg.run.nsave)
     ncur = max(1, cfg.run.print_current)
 
+    _sharded_cache = {}
+
+    def advance(st, n):
+        if mesh is None:
+            return multi_step(cfg, st, n)
+        from .parallel.mesh import make_sharded_multi_step
+
+        fn = _sharded_cache.get(n)
+        if fn is None:
+            fn = _sharded_cache[n] = make_sharded_multi_step(cfg, mesh, n)
+        return fn(st)
+
     # warm up compilation outside the timed loop (reference times kernels
     # only, main.cu:185-186)
-    state, macro = step_jit(cfg, state)
+    if mesh is None:
+        state, macro = step_jit(cfg, state)
+    else:
+        state = advance(state, 1)
     jax.block_until_ready(state.f)
     done = 1
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
 
     t0 = time.perf_counter()
     while done < nsteps:
@@ -139,7 +174,7 @@ def cmd_run(args):
             ((done // nsave) + 1) * nsave, ((done // ncur) + 1) * ncur, nsteps
         )
         chunk = next_event - done
-        state = multi_step(cfg, state, chunk)
+        state = advance(state, chunk)
         done = next_event
 
         if done % ncur == 0 or done == nsteps:
@@ -166,10 +201,18 @@ def cmd_run(args):
 
         if done % nsave == 0 and done < nsteps:
             macro, _ = macro_fn(cfg, state)
-            tecplot.write_zone(fout, cfg, macro, state.phi, efield_now(state), float(state.t))
+            E_sv = efield_now(state)
+            tecplot.write_zone(fout, cfg, macro, state.phi, E_sv, float(state.t))
+            if args.save_scalars:
+                from .io.scalars import save_scalars
+
+                save_scalars(outdir, done, cfg, macro, state.phi, E_sv)
 
     jax.block_until_ready(state.f)
     runtime = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"  profiler trace written to {args.profile}")
     nodes_updated = nsteps * cfg.grid.num_nodes
     mlups = nodes_updated / (1e6 * runtime)
 
@@ -209,6 +252,23 @@ def main(argv=None):
     common(p_run)
     p_run.add_argument("--resume", default=None, help="checkpoint (.npz or .dat)")
     p_run.add_argument("--platform", default=None, help="jax platform override (cpu)")
+    p_run.add_argument(
+        "--mesh", choices=["slab", "pencil"], default=None,
+        help="shard the domain over the local devices (slab: y, pencil: y+x)")
+    p_run.add_argument(
+        "--mesh-devices", type=int, default=0,
+        help="number of devices for --mesh (default: all)")
+    p_run.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize() from the cluster env "
+             "(one identical SPMD process per host)")
+    p_run.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the timed loop into DIR")
+    p_run.add_argument(
+        "--save-scalars", action="store_true",
+        help="per-scalar binary dumps nameNNNN.bin at every save step "
+             "(reference save_scalar, LBM.cu:2454-2490)")
     p_run.set_defaults(fn=cmd_run)
 
     p_info = sub.add_parser("info", help="print configuration banner")
