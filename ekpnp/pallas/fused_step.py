@@ -53,7 +53,7 @@ from ..config import Config
 HALO = 8  # aligned halo block height; row 7 is y0-1, row TY+8 is y0+TY
 
 
-def _pick_ty(cfg, nfields: int, vmem_budget=64 * 1024 * 1024):
+def _pick_ty(cfg, nfields: int, q: int = 27, vmem_budget=64 * 1024 * 1024):
     """Largest strip height TY (multiple of 8) dividing NY that fits VMEM.
 
     Wider strips amortize the 16 halo rows each window DMA re-reads:
@@ -68,9 +68,9 @@ def _pick_ty(cfg, nfields: int, vmem_budget=64 * 1024 * 1024):
     for ty in (128, 64, 32, 16, 8):
         if g.ny % ty:
             continue
-        win = 27 * (ty + 16) * g.nx * 4       # one input window slot
-        plane = 27 * (ty + 2) * g.nx * 4      # one post-collision slot
-        emit = 27 * ty * g.nx * 4             # one emit buffer
+        win = q * (ty + 16) * g.nx * 4        # one input window slot
+        plane = q * (ty + 2) * g.nx * 4       # one post-collision slot
+        emit = q * ty * g.nx * 4              # one emit buffer
         need = nfields * (2 * win + 3 * plane + 2 * emit) + 2 * plane + emit
         if need < vmem_budget:
             return ty
@@ -92,8 +92,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     wrapping locally.  fn then takes (f, h, hn, g, phi, lo..., hi...,
     phi_lo, phi_hi) where lo/hi are per-field (27, NZ, 8, NX) blocks."""
     lat = cfg.lattice
-    if lat.Q != 27:
-        raise ValueError("fused kernel supports D3Q27 only")
+    Q = lat.Q
+    if not all(int(lat.OPP[i]) == i + 1 for i in range(1, Q, 2)):
+        raise ValueError("fused kernel needs the (odd, even) opposite-pair "
+                         "direction ordering (D3Q27 / D3Q19, lattice.py)")
     g = cfg.grid
     p = cfg.physics
     NZ, NY, NX = g.shape
@@ -106,7 +108,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     thermal = p.enable_thermal
     nf = 1 + (2 if ek else 0) + (1 if thermal else 0)
 
-    TY = ty_override or _pick_ty(cfg, nf)
+    TY = ty_override or _pick_ty(cfg, nf, Q)
     if TY is None or NY % TY or TY % 8:
         raise ValueError("no valid y-strip size (needs TY % 8 == 0 dividing NY)")
     R = TY + 2           # logical rows [y0-1, y0+TY]
@@ -114,7 +116,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     JY = NY // TY
 
     # ---- static lattice/physics constants -------------------------------
-    E_ = [tuple(int(v) for v in lat.E[d]) for d in range(27)]
+    E_ = [tuple(int(v) for v in lat.E[d]) for d in range(Q)]
     W_ = [float(w) for w in lat.W]
     OPP = [int(o) for o in lat.OPP]
     dt = p.dt(g.dx)
@@ -317,11 +319,11 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             return Ex, Ey, Ez
 
         # pair structure of D3Q27: OPP[i] == i+1 for odd i (LBM.cu:1148-1202)
-        PAIRS = [(i, i + 1) for i in range(1, 27, 2)]
+        PAIRS = [(i, i + 1) for i in range(1, Q, 2)]
 
         def field_moment0(k, in_slot):
             acc = ld_pop(k, in_slot, 0)
-            for d in range(1, 27):
+            for d in range(1, Q):
                 acc = acc + ld_pop(k, in_slot, d)
             return acc
 
@@ -329,7 +331,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             """rho and the three raw momenta in one accumulator pass."""
             rho = ld_pop(0, in_slot, 0)
             mom = [None, None, None]
-            for d in range(1, 27):
+            for d in range(1, Q):
                 v = ld_pop(0, in_slot, d)
                 rho = rho + v
                 for a in range(3):
@@ -413,7 +415,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             """Bounce-back of the raw input populations straight into
             slot_pop (reference gpu_boundary, LBM.cu:1848-1961)."""
             slot_pop[k][slot, 0] = ld_pop(k, in_slot, 0)
-            for d in range(1, 27):
+            for d in range(1, Q):
                 v = ld_pop(k, in_slot, OPP[d])
                 if with_wall_term and E_[d][0] != 0 and mw_coef != 0.0:
                     v = v + cst(mw_coef * W_[d] * E_[d][0])
@@ -525,7 +527,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                     interior_emit_copy(k, b, step - 3).wait()
 
             for k in range(nf):
-                for d in range(27):
+                for d in range(Q):
                     emit_pop[k][b, d] = streamed_dir(k, d, e)
                 interior_emit_copy(k, b, e).start()
 
@@ -554,7 +556,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             """Wall-plane emit (reference gpu_bc_charge semantics):
             fluid streams (f_src_for_down overrides the z-wrap source for
             ez=-1), ions reflect, temperature anti-bounces."""
-            dirs = list(range(27)) if f_dirs is None else f_dirs
+            dirs = list(range(Q)) if f_dirs is None else f_dirs
             for d in dirs:
                 ez = E_[d][2]
                 if ez == -1 and f_src_for_down is not None:
@@ -569,14 +571,14 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
             if ek:
                 for k in (1, 2):
-                    for d in range(27):
+                    for d in range(Q):
                         full = slot_pop[k][slot_e, OPP[d]]
                         wall_buf[d] = jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
                     wall_dma(k, e)
             if thermal:
                 k = nf - 1
                 tw = 2.0 * p.TH if e == 0 else 0.0
-                for d in range(27):
+                for d in range(Q):
                     full = slot_pop[k][slot_e, OPP[d]]
                     v = -jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
                     if tw != 0.0:
@@ -610,7 +612,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             collide_plane(0, 0, u_override=wall_u, is_lower_wall=True)
             start_in(2)
             start_phi(3)
-            for d in range(27):
+            for d in range(Q):
                 f_pin[d] = slot_pop[0][0, d]
 
         @pl.when((s >= 2) & (s < NZ))
@@ -641,7 +643,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         @pl.when(s == 2)
         def _():
             emit_wall(0, slot_e=0,
-                      f_dirs=[d for d in range(27) if E_[d][2] <= 0])
+                      f_dirs=[d for d in range(Q) if E_[d][2] <= 0])
 
         @pl.when(s == NZ)
         def _():
@@ -655,7 +657,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                         sem_cmom.at[plane % 2]).wait()
             emit_wall(NZ - 1, slot_e=(NZ - 1) % 3, f_src_for_down=f_pin)
             slot_top = (NZ - 1) % 3
-            up_dirs = [d for d in range(27) if E_[d][2] == 1]
+            up_dirs = [d for d in range(Q) if E_[d][2] == 1]
             for d in up_dirs:
                 full = slot_pop[0][slot_top, d]
                 val = jax.lax.slice_in_dim(full, 1 - E_[d][1], 1 - E_[d][1] + TY, axis=0)
@@ -663,7 +665,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             wall_dma(0, 0, up_dirs)
 
     # ------------------------------------------------------------------
-    pop_shape = (27, NZ, NY, NX)
+    pop_shape = (Q, NZ, NY, NX)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
     out_shapes = [jax.ShapeDtypeStruct(pop_shape, dtype) for _ in range(nf)]
@@ -674,15 +676,15 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
     scratch = []
     for _ in range(nf):
-        scratch.append(pltpu.VMEM((2, 27, WROWS, NX), dtype))  # input windows
+        scratch.append(pltpu.VMEM((2, Q, WROWS, NX), dtype))   # input windows
     if ek:
         scratch.append(pltpu.VMEM((4, WROWS, NX), dtype))      # phi windows
     for _ in range(nf):
-        scratch.append(pltpu.VMEM((3, 27, R, NX), dtype))      # post slots
-    scratch.append(pltpu.VMEM((27, R, NX), dtype))             # f_pin
+        scratch.append(pltpu.VMEM((3, Q, R, NX), dtype))       # post slots
+    scratch.append(pltpu.VMEM((Q, R, NX), dtype))              # f_pin
     for _ in range(nf):
-        scratch.append(pltpu.VMEM((2, 27, TY, NX), dtype))     # emit dbl-buf
-    scratch.append(pltpu.VMEM((27, TY, NX), dtype))            # wall buf
+        scratch.append(pltpu.VMEM((2, Q, TY, NX), dtype))      # emit dbl-buf
+    scratch.append(pltpu.VMEM((Q, TY, NX), dtype))             # wall buf
     if ek:
         scratch.append(pltpu.VMEM((2, TY, NX), dtype))         # rhs dbl-buf
     scratch.append(pltpu.SemaphoreType.DMA((2, nf, 3)))        # sem_in

@@ -73,3 +73,13 @@ def test_fused_moving_wall():
 def test_fused_longer_run_stability():
     cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul")
     _compare(cfg, steps=6)
+
+
+def test_fused_fluid_only_d3q19():
+    # BASELINE config 1's lattice: D3Q19 through the same fused kernel
+    cfg = preset(
+        "poiseuille", nx=16, ny=16, nz=9, exf=1e9,
+        enable_ek=False, enable_thermal=False,
+    )
+    assert cfg.lattice.Q == 19
+    _compare(cfg)
