@@ -91,6 +91,13 @@ class PhysicsConfig:
     roomT: float = 273.0
     pb_omega: float = 0.05        # PB init relaxation factor (LBM.h:91)
     pb_iters: int = 501           # reference loop: i in 0..500 (LBM.cu:89)
+    two_species: bool = True      # False: single-species Nernst-Planck
+                                  # (BASELINE config 2) — no (-) population;
+                                  # chargen is identically zero
+    joule: float = 0.0            # Joule-heating coefficient: adds a
+                                  # volumetric source joule (c+ + c-) |E|^2
+                                  # to the temperature field (extension
+                                  # beyond the reference; 0 = parity)
 
     # -- thermal (LBM.h:95-98)
     D: float = 0.889e-6           # thermal diffusivity [m^2/s]
@@ -221,7 +228,7 @@ def preset(name: str, **overrides) -> Config:
         # BASELINE config 2: LBM + Poisson + single species, fixed zeta.
         cfg = Config(
             grid=GridConfig(nx=128, ny=64, nz=65),
-            physics=PhysicsConfig(enable_thermal=False),
+            physics=PhysicsConfig(enable_thermal=False, two_species=False),
             run=RunConfig(),
         )
     elif name == "ek-pnp":

@@ -91,7 +91,8 @@ def state_from_macro(cfg: Config, macro: Macro, phi, E, t) -> State:
         K = dtype.type(p.K)
         Kn = dtype.type(p.Kn)
         h = feq(lat, macro.charge, macro.u + K * E, cfl, cs2)
-        hn = feq(lat, macro.chargen, macro.u + Kn * E, cfl, cs2)
+        if p.two_species:
+            hn = feq(lat, macro.chargen, macro.u + Kn * E, cfl, cs2)
     if p.enable_thermal:
         g = feq(lat, macro.temp, macro.u, cfl, cs2)
     return State(f=f, h=h, hn=hn, g=g, phi=phi, t=jnp.asarray(t, dtype))

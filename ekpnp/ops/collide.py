@@ -127,7 +127,9 @@ def compute_macro(cfg: Config, state: State, perturb: bool = False, E=None):
     rho, mom = moments(lat, state.f, cfl)
     if p.enable_ek:
         charge = jnp.sum(state.h, axis=0)
-        chargen = jnp.sum(state.hn, axis=0)
+        # single-species mode (BASELINE config 2): chargen is identically 0
+        chargen = (jnp.sum(state.hn, axis=0) if state.hn is not None
+                   else jnp.zeros_like(charge))
     else:
         charge = chargen = None
     temp = jnp.sum(state.g, axis=0) if p.enable_thermal else None
@@ -194,13 +196,21 @@ def collide(cfg: Config, state: State, perturb: bool = False):
         K = dtype.type(p.K)
         Kn = dtype.type(p.Kn)
         feq_h = feq(lat, charge, u + K * E, cfl, cs2)
-        feq_hn = feq(lat, chargen, u + Kn * E, cfl, cs2)
         h2 = _trt_update(lat, state.h, feq_h, dt * om["omega_c_plus"], dt * om["omega_c_minus"])
-        hn2 = _trt_update(
-            lat, state.hn, feq_hn, dt * om["omega_cn_plus"], dt * om["omega_cn_minus"]
-        )
+        if state.hn is not None:
+            feq_hn = feq(lat, chargen, u + Kn * E, cfl, cs2)
+            hn2 = _trt_update(
+                lat, state.hn, feq_hn, dt * om["omega_cn_plus"], dt * om["omega_cn_minus"]
+            )
     if p.enable_thermal:
         feq_g = feq(lat, temp, u, cfl, cs2)
         g2 = _trt_update(lat, state.g, feq_g, dt * om["omega_T_plus"], dt * om["omega_T_minus"])
+        if p.joule != 0.0 and p.enable_ek:
+            # Joule heating extension (BASELINE config 4): volumetric source
+            # S = joule (c+ + c-) |E|^2 added to the temperature equation as
+            # dt w_i S (simple first-order source; 0 by default = reference
+            # parity, the reference has buoyancy only, LBM.cu:632-637)
+            S = dtype.type(p.joule) * (charge + chargen) * jnp.sum(E * E, axis=0)
+            g2 = g2 + dt * lat.W[:, None, None, None].astype(dtype) * S[None]
 
     return PostCollision(f=f2, h=h2, hn=hn2, g=g2), macro

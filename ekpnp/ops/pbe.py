@@ -31,7 +31,10 @@ def boltzmann_closure(cfg: Config, phi):
     dtype = phi.dtype
     a = dtype.type(p.electron / (p.kB * p.roomT))
     c = dtype.type(p.chargeinf) * jnp.exp(-a * phi)
-    cn = dtype.type(p.chargeinf) * jnp.exp(a * phi)
+    if p.two_species:
+        cn = dtype.type(p.chargeinf) * jnp.exp(a * phi)
+    else:
+        cn = jnp.zeros_like(c)
     return c, cn
 
 

@@ -106,6 +106,11 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
     ek = p.enable_ek
     thermal = p.enable_thermal
+    if ek and not p.two_species:
+        raise ValueError("fused kernel covers the two-species reference "
+                         "physics; single-species runs take the jnp path")
+    if p.joule != 0.0:
+        raise ValueError("Joule-heating extension runs on the jnp path")
     nf = 1 + (2 if ek else 0) + (1 if thermal else 0)
 
     TY = ty_override or _pick_ty(cfg, nf, Q)

@@ -87,7 +87,7 @@ def state_shardings(cfg, mesh: Mesh) -> State:
     return State(
         f=pop,
         h=pop if ek else None,
-        hn=pop if ek else None,
+        hn=pop if ek and cfg.physics.two_species else None,
         g=pop if th else None,
         phi=ns(scalar_spec(mesh)) if ek else None,
         t=ns(P()),

@@ -63,7 +63,7 @@ def zeros_state(cfg, dtype=None) -> State:
     return State(
         f=zeros(shape),
         h=zeros(shape) if ek else None,
-        hn=zeros(shape) if ek else None,
+        hn=zeros(shape) if ek and cfg.physics.two_species else None,
         g=zeros(shape) if th else None,
         phi=zeros(cfg.grid.shape) if ek else None,
         t=jnp.zeros((), dtype),

@@ -26,7 +26,9 @@ from .state import Macro, State
 
 
 def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[State, Macro]:
-    if cfg.run.use_pallas and not perturb:
+    p_ = cfg.physics
+    if (cfg.run.use_pallas and not perturb and p_.joule == 0.0
+            and (not p_.enable_ek or p_.two_species)):
         from .pallas.step import step_pallas
 
         new, _ = step_pallas(cfg, state, mesh=mesh)
@@ -46,9 +48,10 @@ def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[S
 
     if p.enable_ek:
         h1 = stream(lat, post.h)
-        hn1 = stream(lat, post.hn)
         h1 = scalar_wall_bcs(cfg, h1, post.h, "noflux")
-        hn1 = scalar_wall_bcs(cfg, hn1, post.hn, "noflux")
+        if post.hn is not None:
+            hn1 = stream(lat, post.hn)
+            hn1 = scalar_wall_bcs(cfg, hn1, post.hn, "noflux")
         phi = poisson_phi(cfg, macro.charge, macro.chargen, mesh)
 
     if p.enable_thermal:

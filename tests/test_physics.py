@@ -128,3 +128,61 @@ def test_restart_semantics():
     np.testing.assert_allclose(
         np.asarray(macro2.charge), np.asarray(macro.charge), rtol=1e-12
     )
+
+
+def test_single_species_matches_two_species_with_zero_negative():
+    """BASELINE config 2 mode: with the (-) population disabled, the run
+    must equal the two-species run whose negative charge starts (and hence
+    stays) exactly zero — feq(0) = 0 and no-flux walls preserve it."""
+    import dataclasses
+
+    from ekpnp.init import state_from_macro
+    from ekpnp.ops.poisson import efield
+    from ekpnp.state import Macro
+
+    cfg1 = preset("ek-channel", nx=8, ny=8, nz=9)
+    assert not cfg1.physics.two_species
+    cfg2 = dataclasses.replace(
+        cfg1, physics=dataclasses.replace(cfg1.physics, two_species=True)
+    )
+
+    shape = cfg1.grid.shape
+    rng = np.random.default_rng(7)
+    macro = Macro(
+        rho=jnp.full(shape, 1000.0),
+        u=jnp.zeros((3,) + shape),
+        charge=jnp.asarray(0.01 * (1 + 0.1 * rng.random(shape))),
+        chargen=jnp.zeros(shape),
+        temp=None,
+    )
+    phi = jnp.full(shape, cfg1.physics.voltage)
+    E = efield(cfg1, phi)
+    s1 = state_from_macro(cfg1, macro, phi, E, 0.0)
+    s2 = state_from_macro(cfg2, macro, phi, E, 0.0)
+    assert s1.hn is None and s2.hn is not None
+
+    s1, _ = run_steps(cfg1, s1, 3)
+    s2, _ = run_steps(cfg2, s2, 3)
+    np.testing.assert_allclose(np.asarray(s1.h), np.asarray(s2.h), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s1.phi), np.asarray(s2.phi), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s2.hn), 0.0, atol=0)
+
+
+def test_joule_heating_raises_temperature():
+    """The Joule extension (BASELINE config 4): joule > 0 must inject heat
+    proportional to (c+ + c-) |E|^2; joule = 0 is reference parity."""
+    import dataclasses
+
+    cfg0 = preset("reference", nx=8, ny=8, nz=9)
+    cfgj = dataclasses.replace(
+        cfg0, physics=dataclasses.replace(cfg0.physics, joule=1e6)
+    )
+    state0, _ = initialize(cfg0)
+    sj = state0
+    s0 = state0
+    for _ in range(5):
+        s0, m0 = run_steps(cfg0, s0, 1)
+        sj, mj = run_steps(cfgj, sj, 1)
+    t0 = float(jnp.sum(jnp.sum(s0.g, axis=0)))
+    tj = float(jnp.sum(jnp.sum(sj.g, axis=0)))
+    assert tj > t0
