@@ -106,12 +106,13 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
     ek = p.enable_ek
     thermal = p.enable_thermal
-    if ek and not p.two_species:
-        raise ValueError("fused kernel covers the two-species reference "
-                         "physics; single-species runs take the jnp path")
     if p.joule != 0.0:
         raise ValueError("Joule-heating extension runs on the jnp path")
-    nf = 1 + (2 if ek else 0) + (1 if thermal else 0)
+    # field layout: 0 = fluid, then the ion species (1 or 2 of them), then
+    # temperature last.  Single-species (two_species=False): no hn field,
+    # its moment is identically zero.
+    nspec = (2 if p.two_species else 1) if ek else 0
+    nf = 1 + nspec + (1 if thermal else 0)
 
     TY = ty_override or _pick_ty(cfg, nf, Q)
     if TY is None or NY % TY or TY % 8:
@@ -436,14 +437,14 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             inv_rho = 1.0 / rho
             if ek:
                 c = field_moment0(1, in_slot)
-                cn = field_moment0(2, in_slot)
+                cn = field_moment0(2, in_slot) if nspec == 2 else None
             if thermal:
                 T = field_moment0(nf - 1, in_slot)
 
             # body force (LBM.cu:632-637)
             if ek:
                 Ex, Ey, Ez = efield_planes(plane_s)
-                q = cst(kappa) * (c - cn)
+                q = cst(kappa) * ((c - cn) if nspec == 2 else c)
                 fx = q * (Ex + cst(p.ext_field)) + cst(p.exf)
                 fy = q * Ey
                 fz = q * Ez
@@ -483,7 +484,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                             rhsb.at[cb],
                             out_rhs.at[plane_s - 2, pl.ds(y0, TY), :],
                             sem_cmom.at[cb]).wait()
-                rhsb[cb] = (cn[1 : TY + 1] - c[1 : TY + 1]) * cst(kappa / p.eps)
+                diff = (cn[1 : TY + 1] - c[1 : TY + 1]) if nspec == 2 \
+                    else -c[1 : TY + 1]
+                rhsb[cb] = diff * cst(kappa / p.eps)
                 pltpu.make_async_copy(
                     rhsb.at[cb], out_rhs.at[plane_s, pl.ds(y0, TY), :],
                     sem_cmom.at[cb]).start()
@@ -497,8 +500,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             if ek:
                 trt_store(1, in_slot, slot, c, ux + cst(p.K) * Ex,
                           uy + cst(p.K) * Ey, uz + cst(p.K) * Ez, *om_p["h"])
-                trt_store(2, in_slot, slot, cn, ux + cst(p.Kn) * Ex,
-                          uy + cst(p.Kn) * Ey, uz + cst(p.Kn) * Ez, *om_p["hn"])
+                if nspec == 2:
+                    trt_store(2, in_slot, slot, cn, ux + cst(p.Kn) * Ex,
+                              uy + cst(p.Kn) * Ey, uz + cst(p.Kn) * Ez,
+                              *om_p["hn"])
             if thermal:
                 trt_store(nf - 1, in_slot, slot, T, ux, uy, uz, *om_p["g"])
 
@@ -575,7 +580,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             wall_dma(0, e, None if f_dirs is None else dirs)
 
             if ek:
-                for k in (1, 2):
+                for k in range(1, 1 + nspec):
                     for d in range(Q):
                         full = slot_pop[k][slot_e, OPP[d]]
                         wall_buf[d] = jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
@@ -718,7 +723,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
               lo=None, hi=None, phi_lo=None, phi_hi=None):
         args = [f]
         if ek:
-            args += [h, hn]
+            args += [h, hn] if nspec == 2 else [h]
         if thermal:
             args.append(g_)
         if ek:
@@ -730,7 +735,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         outs = list(fused(*args))
         f1 = outs.pop(0)
         h1 = outs.pop(0) if ek else None
-        hn1 = outs.pop(0) if ek else None
+        hn1 = outs.pop(0) if ek and nspec == 2 else None
         g1 = outs.pop(0) if thermal else None
         rhs = outs.pop(0) if ek else None
         return f1, h1, hn1, g1, rhs

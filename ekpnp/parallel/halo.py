@@ -76,6 +76,7 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
     fused = _local_fused(cfg_local, state.f.dtype.name, interpret)
     ek, th = p.enable_ek, p.enable_thermal
 
+    two = p.two_species
     pop_s = P(None, None, "y", None)
     sca_s = P(None, "y", None)
 
@@ -96,11 +97,12 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
         it = iter(args)
         f = next(it)
         h = next(it) if ek else None
-        hn = next(it) if ek else None
+        hn = next(it) if ek and two else None
         g_ = next(it) if th else None
         phi = next(it) if ek else None
 
-        pops = [f] + ([h, hn] if ek else []) + ([g_] if th else [])
+        pops = [f] + ([h, hn] if ek and two else [h] if ek else []) + \
+            ([g_] if th else [])
         los, his = [], []
         for a in pops:
             lo, hi = exchange(a, 2)
@@ -110,12 +112,15 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
         if ek:
             phi_lo, phi_hi = exchange(phi, 1)
 
-        return fused(f, h, hn, g_, phi, lo=los, hi=his,
-                     phi_lo=phi_lo, phi_hi=phi_hi)
+        ret = fused(f, h, hn, g_, phi, lo=los, hi=his,
+                    phi_lo=phi_lo, phi_hi=phi_hi)
+        # drop inactive-field Nones so the outputs match out_specs
+        return tuple(x for x in ret if x is not None)
 
-    in_specs = [pop_s] + ([pop_s, pop_s] if ek else []) + \
-        ([pop_s] if th else []) + ([sca_s] if ek else [])
-    out_specs = [pop_s] * (1 + (2 if ek else 0) + (1 if th else 0)) + \
+    nspec = (2 if two else 1) if ek else 0
+    in_specs = [pop_s] * (1 + nspec) + ([pop_s] if th else []) + \
+        ([sca_s] if ek else [])
+    out_specs = [pop_s] * (1 + nspec + (1 if th else 0)) + \
         ([sca_s] if ek else [])
 
     sharded = jax.shard_map(
@@ -124,12 +129,13 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
         check_vma=False,
     )
 
-    args = [state.f] + ([state.h, state.hn] if ek else []) + \
+    args = [state.f] + \
+        ([state.h, state.hn] if ek and two else [state.h] if ek else []) + \
         ([state.g] if th else []) + ([state.phi] if ek else [])
     outs = list(sharded(*args))
     f1 = outs.pop(0)
     h1 = outs.pop(0) if ek else None
-    hn1 = outs.pop(0) if ek else None
+    hn1 = outs.pop(0) if ek and two else None
     g1 = outs.pop(0) if th else None
     rhs = outs.pop(0) if ek else None
 

@@ -27,8 +27,7 @@ from .state import Macro, State
 
 def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[State, Macro]:
     p_ = cfg.physics
-    if (cfg.run.use_pallas and not perturb and p_.joule == 0.0
-            and (not p_.enable_ek or p_.two_species)):
+    if cfg.run.use_pallas and not perturb and p_.joule == 0.0:
         from .pallas.step import step_pallas
 
         new, _ = step_pallas(cfg, state, mesh=mesh)

@@ -83,3 +83,10 @@ def test_fused_fluid_only_d3q19():
     )
     assert cfg.lattice.Q == 19
     _compare(cfg)
+
+
+def test_fused_single_species():
+    # BASELINE config 2 (single ion species) through the fused kernel
+    cfg = preset("ek-channel", nx=16, ny=8, nz=9, fft_method="matmul")
+    assert not cfg.physics.two_species
+    _compare(cfg)

@@ -93,3 +93,24 @@ def test_halo_shardmap_matches_single_pallas(eight_devices):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13, err_msg=name
         )
+
+
+def test_halo_shardmap_single_species(eight_devices):
+    """Single-species + fluid-only field layouts through the shard_map
+    halo path (inactive fields are absent from the exchanged pytree)."""
+    from ekpnp.parallel import halo as phalo
+    from ekpnp.pallas.step import step_pallas
+
+    cfg = preset("ek-channel", nx=16, ny=16, nz=9, fft_method="matmul",
+                 use_pallas=True)
+    state, _ = initialize(cfg)
+    s1, _ = step_pallas(cfg, state, interpret=True)
+
+    m = pmesh.make_mesh(eight_devices[:2], pencil=False)
+    s2 = pmesh.shard_state(cfg, m, state)
+    s2 = phalo.step_halo(cfg, s2, m, interpret=True)
+    for name in ("f", "h", "phi"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)), np.asarray(getattr(s2, name)),
+            rtol=1e-11, atol=1e-13, err_msg=name)
+    assert s1.hn is None and s2.hn is None
