@@ -134,23 +134,27 @@ class PhysicsConfig:
         return 1.0 / 3.0 / (self.cfl * self.cfl)
 
     # -- TRT relaxation rates (reference LBM.cu:488-495) --------------------
-    def omegas(self, dx: float) -> dict[str, float]:
+    def omegas(self, dx: float, scalar_cs2: Optional[float] = None) -> dict[str, float]:
+        """scalar_cs2: sound speed squared of the scalar-transport lattice
+        (equals cs_square() for the reference-parity D3Q27 scalars; 1/4/CFL^2
+        when RunConfig.scalar_lattice = "D3Q7")."""
         dt = self.dt(dx)
         cs2 = self.cs_square()
+        cs2_s = scalar_cs2 if scalar_cs2 is not None else cs2
 
-        def plus_minus(diff: float, magic: float) -> tuple[float, float]:
-            tau = diff / cs2 / dt
+        def plus_minus(diff: float, magic: float, c2: float) -> tuple[float, float]:
+            tau = diff / c2 / dt
             om_sym = 1.0 / (tau + 0.5) / dt          # relaxes the diffusive part
             om_anti = 1.0 / (magic / tau + 0.5) / dt
             return om_sym, om_anti
 
         # fluid: omega_plus relaxes the even (viscous) part
-        omega_plus, omega_minus = plus_minus(self.nu, self.V)
+        omega_plus, omega_minus = plus_minus(self.nu, self.V, cs2)
         # scalars: omega_minus relaxes the odd part (diffusivity), the
         # even rate comes from the magic parameter (LBM.cu:490-495)
-        omega_c_minus, omega_c_plus = plus_minus(self.diffu, self.VC)
-        omega_cn_minus, omega_cn_plus = plus_minus(self.diffun, self.VCn)
-        omega_T_minus, omega_T_plus = plus_minus(self.D, self.VT)
+        omega_c_minus, omega_c_plus = plus_minus(self.diffu, self.VC, cs2_s)
+        omega_cn_minus, omega_cn_plus = plus_minus(self.diffun, self.VCn, cs2_s)
+        omega_T_minus, omega_T_plus = plus_minus(self.D, self.VT, cs2_s)
         return dict(
             omega_plus=omega_plus,
             omega_minus=omega_minus,
@@ -181,6 +185,11 @@ class RunConfig:
     print_current: int = 50       # diagnostics cadence (printCurrent)
     dtype: str = "float64"        # "float64" (validation) | "float32" (perf)
     lattice: str = "D3Q27"
+    scalar_lattice: str = "same"  # lattice for the scalar-transport fields
+                                  # (ions, temperature): "same" = the fluid
+                                  # lattice (reference parity, LBM.cu:162-463)
+                                  # | "D3Q7" (ADE-sufficient, 7/27 the HBM
+                                  # traffic per scalar field) | "D3Q19"
     use_pallas: bool = False      # fused Pallas collide path
     fft_method: str = "auto"      # "auto" | "fft" | "matmul" (MXU DFT)
     perturb_first_step: bool = False  # seed square convection pattern
@@ -199,12 +208,28 @@ class Config:
         return get_lattice(self.run.lattice)
 
     @property
+    def scalar_lat(self) -> Lattice:
+        """Lattice for the scalar-transport fields (ions, temperature)."""
+        if self.run.scalar_lattice == "same":
+            return self.lattice
+        return get_lattice(self.run.scalar_lattice)
+
+    @property
     def dt(self) -> float:
         return self.physics.dt(self.grid.dx)
 
     @property
     def cs2(self) -> float:
         return self.physics.cs_square()
+
+    @property
+    def cs2_s(self) -> float:
+        """Physical-units sound speed squared of the scalar lattice:
+        cs2_lat (dx/dt)^2 = cs2_lat / CFL^2 (cf. PhysicsConfig.cs_square)."""
+        return self.scalar_lat.cs2_lat / (self.physics.cfl ** 2)
+
+    def omegas(self) -> dict[str, float]:
+        return self.physics.omegas(self.grid.dx, scalar_cs2=self.cs2_s)
 
 
 # ---------------------------------------------------------------------------

@@ -81,8 +81,9 @@ def state_from_macro(cfg: Config, macro: Macro, phi, E, t) -> State:
     wherever consumed); pass E = ops.poisson.efield(cfg, phi) unless
     reproducing the PB-init exit semantics (see ops/pbe.py)."""
     lat = cfg.lattice
+    lat_s = cfg.scalar_lat
     p = cfg.physics
-    cfl, cs2 = p.cfl, cfg.cs2
+    cfl, cs2, cs2_s = p.cfl, cfg.cs2, cfg.cs2_s
     dtype = macro.rho.dtype
 
     f = feq(lat, macro.rho, macro.u, cfl, cs2)
@@ -90,9 +91,9 @@ def state_from_macro(cfg: Config, macro: Macro, phi, E, t) -> State:
     if p.enable_ek:
         K = dtype.type(p.K)
         Kn = dtype.type(p.Kn)
-        h = feq(lat, macro.charge, macro.u + K * E, cfl, cs2)
+        h = feq(lat_s, macro.charge, macro.u + K * E, cfl, cs2_s)
         if p.two_species:
-            hn = feq(lat, macro.chargen, macro.u + Kn * E, cfl, cs2)
+            hn = feq(lat_s, macro.chargen, macro.u + Kn * E, cfl, cs2_s)
     if p.enable_thermal:
-        g = feq(lat, macro.temp, macro.u, cfl, cs2)
+        g = feq(lat_s, macro.temp, macro.u, cfl, cs2_s)
     return State(f=f, h=h, hn=hn, g=g, phi=phi, t=jnp.asarray(t, dtype))

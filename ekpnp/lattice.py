@@ -22,6 +22,13 @@ The primary lattice is D3Q27, matching the reference exactly:
 
 A D3Q19 specialization is provided for the plain hydrodynamic configs
 (BASELINE config 1); it shares the same code paths.
+
+A D3Q7 lattice (rest + 6 axis directions, w0 = 1/4, ws = 1/8, cs^2 = 1/4)
+is provided for the scalar advection-diffusion fields (ions, temperature):
+a scalar field needs only up-to-second moment isotropy, which D3Q7
+satisfies, at 7/27 of the HBM traffic of the reference's choice of reusing
+the full hydrodynamic lattice for every field (LBM.cu:162-463).  Selected
+via `RunConfig.scalar_lattice`; the default "same" is reference parity.
 """
 from __future__ import annotations
 
@@ -65,6 +72,12 @@ class Lattice:
     def second_moment(self) -> np.ndarray:
         Ef = self.E.astype(np.float64)
         return np.einsum("q,qa,qb->ab", self.W, Ef, Ef)
+
+    @property
+    def cs2_lat(self) -> float:
+        """Lattice-units sound speed squared: sum_i w_i e_ix^2
+        (1/3 for D3Q27/D3Q19, 1/4 for D3Q7)."""
+        return float(self.second_moment()[0, 0])
 
 
 def _d3q27() -> Lattice:
@@ -121,6 +134,16 @@ def _d3q19() -> Lattice:
     return Lattice("D3Q19", E, W, OPP)
 
 
+def _d3q7() -> Lattice:
+    # Rest + 6 axis directions (D3Q27 ordering prefix); standard ADE weights
+    # w0 = 1/4, ws = 1/8 giving cs^2 = 1/4.
+    q27 = _d3q27()
+    E = q27.E[:7].copy()
+    W = np.array([1.0 / 4.0] + [1.0 / 8.0] * 6, dtype=np.float64)
+    OPP = q27.OPP[:7].copy()
+    return Lattice("D3Q7", E, W, OPP)
+
+
 @lru_cache(maxsize=None)
 def get_lattice(name: str) -> Lattice:
     name = name.upper()
@@ -128,8 +151,11 @@ def get_lattice(name: str) -> Lattice:
         return _d3q27()
     if name == "D3Q19":
         return _d3q19()
-    raise ValueError(f"unknown lattice {name!r}; have D3Q27, D3Q19")
+    if name == "D3Q7":
+        return _d3q7()
+    raise ValueError(f"unknown lattice {name!r}; have D3Q27, D3Q19, D3Q7")
 
 
 D3Q27 = get_lattice("D3Q27")
 D3Q19 = get_lattice("D3Q19")
+D3Q7 = get_lattice("D3Q7")

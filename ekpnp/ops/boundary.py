@@ -68,7 +68,7 @@ def scalar_wall_bcs(cfg: Config, streamed, post, which: str):
         z=0    : g_i = -g2_opp + 2 TH w_i   (including the rest population)
         z=NZ-1 : g_i = -g2_opp              (T = 0 wall)
     """
-    lat = cfg.lattice
+    lat = cfg.scalar_lat  # these BCs apply only to scalar-transport fields
     dtype = streamed.dtype
     opp = jnp.asarray(lat.OPP)
     refl = post[opp]

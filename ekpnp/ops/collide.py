@@ -164,13 +164,15 @@ def collide(cfg: Config, state: State, perturb: bool = False):
     (bounce-back, scalar wall BCs) lives in boundary.py.
     """
     lat = cfg.lattice
+    lat_s = cfg.scalar_lat      # scalar-transport lattice (ions, temperature)
     p = cfg.physics
     g = cfg.grid
     dtype = state.f.dtype
     dt = dtype.type(p.dt(g.dx))
     cs2 = cfg.cs2
+    cs2_s = cfg.cs2_s
     cfl = p.cfl
-    om = {k: dtype.type(v) for k, v in p.omegas(g.dx).items()}
+    om = {k: dtype.type(v) for k, v in cfg.omegas().items()}
 
     E = efield(cfg, state.phi) if p.enable_ek else None
     macro, F = compute_macro(cfg, state, perturb, E=E)
@@ -195,22 +197,22 @@ def collide(cfg: Config, state: State, perturb: bool = False):
     if p.enable_ek:
         K = dtype.type(p.K)
         Kn = dtype.type(p.Kn)
-        feq_h = feq(lat, charge, u + K * E, cfl, cs2)
-        h2 = _trt_update(lat, state.h, feq_h, dt * om["omega_c_plus"], dt * om["omega_c_minus"])
+        feq_h = feq(lat_s, charge, u + K * E, cfl, cs2_s)
+        h2 = _trt_update(lat_s, state.h, feq_h, dt * om["omega_c_plus"], dt * om["omega_c_minus"])
         if state.hn is not None:
-            feq_hn = feq(lat, chargen, u + Kn * E, cfl, cs2)
+            feq_hn = feq(lat_s, chargen, u + Kn * E, cfl, cs2_s)
             hn2 = _trt_update(
-                lat, state.hn, feq_hn, dt * om["omega_cn_plus"], dt * om["omega_cn_minus"]
+                lat_s, state.hn, feq_hn, dt * om["omega_cn_plus"], dt * om["omega_cn_minus"]
             )
     if p.enable_thermal:
-        feq_g = feq(lat, temp, u, cfl, cs2)
-        g2 = _trt_update(lat, state.g, feq_g, dt * om["omega_T_plus"], dt * om["omega_T_minus"])
+        feq_g = feq(lat_s, temp, u, cfl, cs2_s)
+        g2 = _trt_update(lat_s, state.g, feq_g, dt * om["omega_T_plus"], dt * om["omega_T_minus"])
         if p.joule != 0.0 and p.enable_ek:
             # Joule heating extension (BASELINE config 4): volumetric source
             # S = joule (c+ + c-) |E|^2 added to the temperature equation as
             # dt w_i S (simple first-order source; 0 by default = reference
             # parity, the reference has buoyancy only, LBM.cu:632-637)
             S = dtype.type(p.joule) * (charge + chargen) * jnp.sum(E * E, axis=0)
-            g2 = g2 + dt * lat.W[:, None, None, None].astype(dtype) * S[None]
+            g2 = g2 + dt * lat_s.W[:, None, None, None].astype(dtype) * S[None]
 
     return PostCollision(f=f2, h=h2, hn=hn2, g=g2), macro

@@ -53,7 +53,7 @@ from ..config import Config
 HALO = 8  # aligned halo block height; row 7 is y0-1, row TY+8 is y0+TY
 
 
-def _pick_ty(cfg, nfields: int, q: int = 27, vmem_budget=64 * 1024 * 1024):
+def _pick_ty(cfg, qs, vmem_budget=64 * 1024 * 1024):
     """Largest strip height TY (multiple of 8) dividing NY that fits VMEM.
 
     Wider strips amortize the 16 halo rows each window DMA re-reads:
@@ -63,15 +63,21 @@ def _pick_ty(cfg, nfields: int, q: int = 27, vmem_budget=64 * 1024 * 1024):
     leaves the other half of VMEM for Mosaic's register spill arena: the
     4-field collide at TY=128 spills ~62 MB of vector registers, so the
     coupled kernel lands on TY=64 — measured faster than any spilling
-    TY=128 variant."""
+    TY=128 variant.  `qs` is the per-field direction count (the scalar
+    fields may run a smaller lattice than the fluid)."""
     g = cfg.grid
     for ty in (128, 64, 32, 16, 8):
         if g.ny % ty:
             continue
-        win = q * (ty + 16) * g.nx * 4        # one input window slot
-        plane = q * (ty + 2) * g.nx * 4       # one post-collision slot
-        emit = q * ty * g.nx * 4              # one emit buffer
-        need = nfields * (2 * win + 3 * plane + 2 * emit) + 2 * plane + emit
+        need = 0
+        for q in qs:
+            win = q * (ty + 16) * g.nx * 4    # one input window slot
+            plane = q * (ty + 2) * g.nx * 4   # one post-collision slot
+            emit = q * ty * g.nx * 4          # one emit buffer
+            need += 2 * win + 3 * plane + 2 * emit
+        plane_f = qs[0] * (ty + 2) * g.nx * 4
+        emit_f = qs[0] * ty * g.nx * 4
+        need += 2 * plane_f + emit_f          # f_pin, wall buf, phi/rhs slack
         if need < vmem_budget:
             return ty
     return None
@@ -92,10 +98,13 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     wrapping locally.  fn then takes (f, h, hn, g, phi, lo..., hi...,
     phi_lo, phi_hi) where lo/hi are per-field (27, NZ, 8, NX) blocks."""
     lat = cfg.lattice
+    lat_s = cfg.scalar_lat    # scalar-transport lattice (ions, temperature)
     Q = lat.Q
-    if not all(int(lat.OPP[i]) == i + 1 for i in range(1, Q, 2)):
-        raise ValueError("fused kernel needs the (odd, even) opposite-pair "
-                         "direction ordering (D3Q27 / D3Q19, lattice.py)")
+    for l in {lat, lat_s}:
+        if not all(int(l.OPP[i]) == i + 1 for i in range(1, l.Q, 2)):
+            raise ValueError("fused kernel needs the (odd, even) opposite-"
+                             "pair direction ordering (D3Q27/D3Q19/D3Q7, "
+                             "lattice.py)")
     g = cfg.grid
     p = cfg.physics
     NZ, NY, NX = g.shape
@@ -106,15 +115,19 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
     ek = p.enable_ek
     thermal = p.enable_thermal
-    if p.joule != 0.0:
-        raise ValueError("Joule-heating extension runs on the jnp path")
+    joule = p.joule if (p.enable_ek and p.enable_thermal) else 0.0
     # field layout: 0 = fluid, then the ion species (1 or 2 of them), then
     # temperature last.  Single-species (two_species=False): no hn field,
     # its moment is identically zero.
     nspec = (2 if p.two_species else 1) if ek else 0
     nf = 1 + nspec + (1 if thermal else 0)
 
-    TY = ty_override or _pick_ty(cfg, nf, Q)
+    # per-field lattice: field 0 is the fluid, all others scalar transport
+    field_lats = [lat] + [lat_s] * (nf - 1)
+    QS = [l.Q for l in field_lats]
+    QMAX = max(QS)
+
+    TY = ty_override or _pick_ty(cfg, QS)
     if TY is None or NY % TY or TY % 8:
         raise ValueError("no valid y-strip size (needs TY % 8 == 0 dividing NY)")
     R = TY + 2           # logical rows [y0-1, y0+TY]
@@ -122,16 +135,23 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     JY = NY // TY
 
     # ---- static lattice/physics constants -------------------------------
-    E_ = [tuple(int(v) for v in lat.E[d]) for d in range(Q)]
-    W_ = [float(w) for w in lat.W]
-    OPP = [int(o) for o in lat.OPP]
+    ES = [[tuple(int(v) for v in l.E[d]) for d in range(l.Q)]
+          for l in field_lats]
+    WS = [[float(w) for w in l.W] for l in field_lats]
+    OPPS = [[int(o) for o in l.OPP] for l in field_lats]
+    PAIRS_K = [[(i, i + 1) for i in range(1, l.Q, 2)] for l in field_lats]
+    E_ = ES[0]          # fluid aliases (wall BCs, fluid force, moments)
+    W_ = WS[0]
+    OPP = OPPS[0]
     dt = p.dt(g.dx)
     cs2 = cfg.cs2
     cfl = p.cfl
-    om = p.omegas(g.dx)
+    om = cfg.omegas()
     inv_cfl = 1.0 / cfl
     inv_cs2 = 1.0 / cs2
     t_scale = inv_cs2 * inv_cfl
+    inv_cs2_k = [1.0 / cfg.cs2] + [1.0 / cfg.cs2_s] * (nf - 1)
+    t_scale_k = [ic * inv_cfl for ic in inv_cs2_k]
     kappa = p.convert_c_to_charge
     buoy = p.rho0 * p.Ra * p.nu * p.D
     mw_coef = 2.0 * p.rho0 * p.uw * inv_cs2 * inv_cfl
@@ -324,12 +344,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                   - buf_phi[sp, HALO - 1 : HALO - 1 + R, :]) * cst(0.5 / g.dz)
             return Ex, Ey, Ez
 
-        # pair structure of D3Q27: OPP[i] == i+1 for odd i (LBM.cu:1148-1202)
-        PAIRS = [(i, i + 1) for i in range(1, Q, 2)]
-
         def field_moment0(k, in_slot):
             acc = ld_pop(k, in_slot, 0)
-            for d in range(1, Q):
+            for d in range(1, QS[k]):
                 acc = acc + ld_pop(k, in_slot, d)
             return acc
 
@@ -348,10 +365,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                     mom[a] = t if mom[a] is None else mom[a] + t
             return rho, mom[0], mom[1], mom[2]
 
-        def edot(i, ax, ay, az):
+        def edot(ei, ax, ay, az):
             """(e_i . a) from per-axis arrays, sign-folded adds only."""
             acc = None
-            for e, comp in zip(E_[i], (ax, ay, az)):
+            for e, comp in zip(ei, (ax, ay, az)):
                 if e == 0:
                     continue
                 term = comp if e > 0 else -comp
@@ -359,7 +376,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             return acc
 
         def trt_store(k, in_slot, slot, m, vx, vy, vz, op_dt, om_dt,
-                      fluid_force=None):
+                      fluid_force=None, iso_src=None):
             """TRT collision in even/odd pair space, one pair at a time,
             stored into slot_pop as soon as computed.
 
@@ -369,37 +386,54 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             Update: out_i = p_i - op(fp - ep) - om(fm - em) [+ dt src_i],
             halves folded into the constants.  fluid_force = (ux,uy,uz,
             fx,fy,fz) adds the Guo TRT source (LBM.cu:1107-1145,1660-1689).
+            iso_src adds the isotropic volumetric source dt w_i iso_src to
+            every direction (the Joule-heating term of the thermal field).
+
+            All lattice constants are field k's: the scalar fields may run
+            a smaller lattice (D3Q7) with its own weights and sound speed.
             """
-            omusq = 1.0 - cst(0.5 * inv_cs2) * (vx * vx + vy * vy + vz * vz)
-            tx, ty_, tz = vx * cst(t_scale), vy * cst(t_scale), vz * cst(t_scale)
+            Ek, Wk = ES[k], WS[k]
+            ics2_k = inv_cs2_k[k]
+            tsc_k = t_scale_k[k]
+            if iso_src is not None:
+                iso_by_w = {}
+
+                def iso_of(w):
+                    if w not in iso_by_w:
+                        iso_by_w[w] = cst(dt * w) * iso_src
+                    return iso_by_w[w]
+            omusq = 1.0 - cst(0.5 * ics2_k) * (vx * vx + vy * vy + vz * vz)
+            tx, ty_, tz = vx * cst(tsc_k), vy * cst(tsc_k), vz * cst(tsc_k)
             cop = cst(0.5 * op_dt)
             com = cst(0.5 * om_dt)
             # 2 w m per weight class (ws: dirs 1-6, wa: 7-18, wd: 19-26)
             w2m = {}
-            for i, _ in PAIRS:
-                wkey = W_[i]
+            for i, _ in PAIRS_K[k]:
+                wkey = Wk[i]
                 if wkey not in w2m:
                     w2m[wkey] = cst(2.0 * wkey) * m
             if fluid_force is not None:
                 ux_, uy_, uz_, fx_, fy_, fz_ = fluid_force
                 udotF = ux_ * fx_ + uy_ * fy_ + uz_ * fz_
-                ca = cst(0.5 * dt * s_plus * 2.0 * inv_cs2)
-                cb = cst(0.5 * dt * s_minus * 2.0 * inv_cs2 * inv_cfl)
-                ck = cst(inv_cfl * inv_cfl * inv_cs2)
+                ca = cst(0.5 * dt * s_plus * 2.0 * ics2_k)
+                cb = cst(0.5 * dt * s_minus * 2.0 * ics2_k * inv_cfl)
+                ck = cst(inv_cfl * inv_cfl * ics2_k)
 
             # rest direction: even only
             p0 = ld_pop(k, in_slot, 0)
-            e0 = cst(W_[0]) * m * omusq
+            e0 = cst(Wk[0]) * m * omusq
             o0 = p0 - cst(op_dt) * (p0 - e0)
             if fluid_force is not None:
-                o0 = o0 + cst(dt * s_plus * W_[0] * inv_cs2) * (-udotF)
+                o0 = o0 + cst(dt * s_plus * Wk[0] * ics2_k) * (-udotF)
+            if iso_src is not None:
+                o0 = o0 + iso_of(Wk[0])
             slot_pop[k][slot, 0] = o0
 
-            for i, jd in PAIRS:
+            for i, jd in PAIRS_K[k]:
                 pi = ld_pop(k, in_slot, i)
                 pj = ld_pop(k, in_slot, jd)
-                t = edot(i, tx, ty_, tz)
-                coeff = w2m[W_[i]]
+                t = edot(Ek[i], tx, ty_, tz)
+                coeff = w2m[Wk[i]]
                 ep2 = coeff * (omusq + 0.5 * (t * t))
                 em2 = coeff * t
                 a = cop * ((pi + pj) - ep2)
@@ -407,13 +441,17 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 oi = pi - (a + b)
                 oj = pj - (a - b)
                 if fluid_force is not None:
-                    w = cst(W_[i])
-                    eF = edot(i, fx_, fy_, fz_)
-                    eu = edot(i, ux_, uy_, uz_)
+                    w = cst(Wk[i])
+                    eF = edot(Ek[i], fx_, fy_, fz_)
+                    eu = edot(Ek[i], ux_, uy_, uz_)
                     A = (ca * w) * (eu * eF * ck - udotF)
                     B = (cb * w) * eF
                     oi = oi + (A + B)
                     oj = oj + (A - B)
+                if iso_src is not None:
+                    iso = iso_of(Wk[i])
+                    oi = oi + iso
+                    oj = oj + iso
                 slot_pop[k][slot, i] = oi
                 slot_pop[k][slot, jd] = oj
 
@@ -505,7 +543,16 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                               uy + cst(p.Kn) * Ey, uz + cst(p.Kn) * Ez,
                               *om_p["hn"])
             if thermal:
-                trt_store(nf - 1, in_slot, slot, T, ux, uy, uz, *om_p["g"])
+                # Joule-heating extension (BASELINE config 4): volumetric
+                # source joule (c+ + c-) |E|^2 into the temperature field,
+                # matching the jnp oracle (ops/collide.py); 0 = reference
+                # parity (the reference has buoyancy only, LBM.cu:632-637).
+                Ssrc = None
+                if joule != 0.0:
+                    csum = (c + cn) if nspec == 2 else c
+                    Ssrc = (cst(joule) * csum) * (Ex * Ex + Ey * Ey + Ez * Ez)
+                trt_store(nf - 1, in_slot, slot, T, ux, uy, uz, *om_p["g"],
+                          iso_src=Ssrc)
 
         # ------------------------------------------------ emit
         def roll_x(val, ex):
@@ -514,7 +561,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             return pltpu.roll(val, ex % NX, axis=1)
 
         def streamed_dir(k, d, e):
-            ex, ey, ez = E_[d]
+            ex, ey, ez = ES[k][d]
             src_slot = jax.lax.rem(jnp.int32(e - ez + 3 * NZ), jnp.int32(3))
             full = slot_pop[k][src_slot, d]
             val = jax.lax.slice_in_dim(full, 1 - ey, 1 - ey + TY, axis=0)
@@ -537,7 +584,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                     interior_emit_copy(k, b, step - 3).wait()
 
             for k in range(nf):
-                for d in range(Q):
+                for d in range(QS[k]):
                     emit_pop[k][b, d] = streamed_dir(k, d, e)
                 interior_emit_copy(k, b, e).start()
 
@@ -551,8 +598,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
         def wall_dma(k, e, dirs=None):
             if dirs is None:
+                # only the first QS[k] rows of wall_buf are field k's dirs
                 cp_ = pltpu.make_async_copy(
-                    wall_buf.at[:], out_pop[k].at[:, e, pl.ds(y0, TY), :],
+                    wall_buf.at[pl.ds(0, QS[k])],
+                    out_pop[k].at[:, e, pl.ds(y0, TY), :],
                     sem_wall.at[0])
                 cp_.start(); cp_.wait()
             else:
@@ -581,18 +630,18 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
             if ek:
                 for k in range(1, 1 + nspec):
-                    for d in range(Q):
-                        full = slot_pop[k][slot_e, OPP[d]]
+                    for d in range(QS[k]):
+                        full = slot_pop[k][slot_e, OPPS[k][d]]
                         wall_buf[d] = jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
                     wall_dma(k, e)
             if thermal:
                 k = nf - 1
                 tw = 2.0 * p.TH if e == 0 else 0.0
-                for d in range(Q):
-                    full = slot_pop[k][slot_e, OPP[d]]
+                for d in range(QS[k]):
+                    full = slot_pop[k][slot_e, OPPS[k][d]]
                     v = -jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
                     if tw != 0.0:
-                        v = v + cst(tw * W_[d])
+                        v = v + cst(tw * WS[k][d])
                     wall_buf[d] = v
                 wall_dma(k, e)
 
@@ -675,26 +724,24 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             wall_dma(0, 0, up_dirs)
 
     # ------------------------------------------------------------------
-    pop_shape = (Q, NZ, NY, NX)
-
     in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
-    out_shapes = [jax.ShapeDtypeStruct(pop_shape, dtype) for _ in range(nf)]
+    out_shapes = [jax.ShapeDtypeStruct((q, NZ, NY, NX), dtype) for q in QS]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(nf)]
     if ek:
         out_shapes.append(jax.ShapeDtypeStruct((NZ, NY, NX), dtype))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     scratch = []
-    for _ in range(nf):
-        scratch.append(pltpu.VMEM((2, Q, WROWS, NX), dtype))   # input windows
+    for q in QS:
+        scratch.append(pltpu.VMEM((2, q, WROWS, NX), dtype))   # input windows
     if ek:
         scratch.append(pltpu.VMEM((4, WROWS, NX), dtype))      # phi windows
-    for _ in range(nf):
-        scratch.append(pltpu.VMEM((3, Q, R, NX), dtype))       # post slots
+    for q in QS:
+        scratch.append(pltpu.VMEM((3, q, R, NX), dtype))       # post slots
     scratch.append(pltpu.VMEM((Q, R, NX), dtype))              # f_pin
-    for _ in range(nf):
-        scratch.append(pltpu.VMEM((2, Q, TY, NX), dtype))      # emit dbl-buf
-    scratch.append(pltpu.VMEM((Q, TY, NX), dtype))             # wall buf
+    for q in QS:
+        scratch.append(pltpu.VMEM((2, q, TY, NX), dtype))      # emit dbl-buf
+    scratch.append(pltpu.VMEM((QMAX, TY, NX), dtype))          # wall buf
     if ek:
         scratch.append(pltpu.VMEM((2, TY, NX), dtype))         # rhs dbl-buf
     scratch.append(pltpu.SemaphoreType.DMA((2, nf, 3)))        # sem_in

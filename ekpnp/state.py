@@ -57,14 +57,15 @@ def zeros_state(cfg, dtype=None) -> State:
     lat = cfg.lattice
     dtype = dtype or jnp.dtype(cfg.run.dtype)
     shape = (lat.Q,) + cfg.grid.shape
+    shape_s = (cfg.scalar_lat.Q,) + cfg.grid.shape
     zeros = lambda s: jnp.zeros(s, dtype)
     ek = cfg.physics.enable_ek
     th = cfg.physics.enable_thermal
     return State(
         f=zeros(shape),
-        h=zeros(shape) if ek else None,
-        hn=zeros(shape) if ek and cfg.physics.two_species else None,
-        g=zeros(shape) if th else None,
+        h=zeros(shape_s) if ek else None,
+        hn=zeros(shape_s) if ek and cfg.physics.two_species else None,
+        g=zeros(shape_s) if th else None,
         phi=zeros(cfg.grid.shape) if ek else None,
         t=jnp.zeros((), dtype),
     )

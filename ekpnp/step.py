@@ -27,7 +27,7 @@ from .state import Macro, State
 
 def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[State, Macro]:
     p_ = cfg.physics
-    if cfg.run.use_pallas and not perturb and p_.joule == 0.0:
+    if cfg.run.use_pallas and not perturb:
         from .pallas.step import step_pallas
 
         new, _ = step_pallas(cfg, state, mesh=mesh)
@@ -35,6 +35,7 @@ def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[S
 
     p = cfg.physics
     lat = cfg.lattice
+    lat_s = cfg.scalar_lat
 
     post, macro = collide(cfg, state, perturb=perturb)
 
@@ -46,15 +47,15 @@ def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[S
     phi = state.phi
 
     if p.enable_ek:
-        h1 = stream(lat, post.h)
+        h1 = stream(lat_s, post.h)
         h1 = scalar_wall_bcs(cfg, h1, post.h, "noflux")
         if post.hn is not None:
-            hn1 = stream(lat, post.hn)
+            hn1 = stream(lat_s, post.hn)
             hn1 = scalar_wall_bcs(cfg, hn1, post.hn, "noflux")
         phi = poisson_phi(cfg, macro.charge, macro.chargen, mesh)
 
     if p.enable_thermal:
-        g1 = stream(lat, post.g)
+        g1 = stream(lat_s, post.g)
         g1 = scalar_wall_bcs(cfg, g1, post.g, "temperature")
 
     dt = state.t.dtype.type(p.dt(cfg.grid.dx))

@@ -5,26 +5,29 @@ import pytest
 from ekpnp.lattice import get_lattice
 
 
-@pytest.mark.parametrize("name", ["D3Q27", "D3Q19"])
+@pytest.mark.parametrize("name", ["D3Q27", "D3Q19", "D3Q7"])
 def test_weight_sum(name):
     lat = get_lattice(name)
     assert lat.weight_sum() == pytest.approx(1.0, abs=1e-15)
 
 
-@pytest.mark.parametrize("name", ["D3Q27", "D3Q19"])
+@pytest.mark.parametrize("name", ["D3Q27", "D3Q19", "D3Q7"])
 def test_first_moment_zero(name):
     lat = get_lattice(name)
     np.testing.assert_allclose(lat.first_moment(), 0.0, atol=1e-15)
 
 
-@pytest.mark.parametrize("name", ["D3Q27", "D3Q19"])
+@pytest.mark.parametrize("name", ["D3Q27", "D3Q19", "D3Q7"])
 def test_second_moment_isotropy(name):
-    # sum_i w_i e_ia e_ib = cs_lat^2 delta_ab with cs_lat^2 = 1/3
+    # sum_i w_i e_ia e_ib = cs_lat^2 delta_ab (1/3 full, 1/4 for D3Q7)
     lat = get_lattice(name)
-    np.testing.assert_allclose(lat.second_moment(), np.eye(3) / 3.0, atol=1e-15)
+    np.testing.assert_allclose(
+        lat.second_moment(), np.eye(3) * lat.cs2_lat, atol=1e-15
+    )
+    assert lat.cs2_lat == pytest.approx(0.25 if name == "D3Q7" else 1.0 / 3.0)
 
 
-@pytest.mark.parametrize("name", ["D3Q27", "D3Q19"])
+@pytest.mark.parametrize("name", ["D3Q27", "D3Q19", "D3Q7"])
 def test_opposites(name):
     lat = get_lattice(name)
     assert lat.OPP[0] == 0

@@ -90,3 +90,39 @@ def test_fused_single_species():
     cfg = preset("ek-channel", nx=16, ny=8, nz=9, fft_method="matmul")
     assert not cfg.physics.two_species
     _compare(cfg)
+
+
+def test_fused_d3q7_scalars():
+    # reduced D3Q7 scalar-transport lattice (7/27 the HBM traffic per
+    # scalar field) through the fused kernel, vs the jnp oracle running
+    # the same mixed-lattice configuration
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul",
+                 scalar_lattice="D3Q7")
+    assert cfg.scalar_lat.Q == 7
+    _compare(cfg, steps=3)
+
+
+def test_fused_d3q7_scalars_multi_strip():
+    cfg = preset("reference", nx=16, ny=32, nz=9, fft_method="matmul",
+                 scalar_lattice="D3Q7")
+    _compare(cfg, ty=8)
+
+
+def test_fused_d3q7_single_species_joule():
+    cfg = preset("ek-channel", nx=16, ny=8, nz=9, fft_method="matmul",
+                 scalar_lattice="D3Q7", joule=1.0e4)
+    _compare(cfg, steps=2)
+
+
+def test_fused_joule_heating():
+    # BASELINE config 4's Joule source through the fused kernel: the
+    # volumetric dt w_i joule (c+ + c-) |E|^2 term must match the oracle
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul",
+                 joule=1.0e4)
+    _compare(cfg, steps=3)
+
+
+def test_fused_joule_single_species():
+    cfg = preset("ek-channel", nx=16, ny=8, nz=9, fft_method="matmul",
+                 joule=1.0e4)
+    _compare(cfg, steps=2)

@@ -44,23 +44,28 @@ def test_poiseuille_profile():
     np.testing.assert_allclose(ux[1:-1], analytic[1:-1], rtol=2e-2)
 
 
-@pytest.mark.parametrize("D", [0.3e-6, 0.889e-6, 1.5e-6])
-def test_thermal_conduction_steady_state(D):
+@pytest.mark.parametrize("D,scalar_lattice", [
+    (0.3e-6, "same"), (0.889e-6, "same"), (1.5e-6, "same"),
+    (0.889e-6, "D3Q7"),
+])
+def test_thermal_conduction_steady_state(D, scalar_lattice):
     """Pure conduction: with u = 0 the steady temperature profile is linear
     in the interior.  The reference's anti-bounce-back-at-the-node scheme
     (LBM.cu:2220-2413) has a tau-dependent effective wall location: the
     Dirichlet planes sit (tau~ + 1/2) cells beyond the first interior nodes,
-    tau~ = D/(cs^2 dt).  Verified exact (6 digits) at three diffusivities;
-    the reference's own outputs extrapolate wall nodes for the same reason
-    (LBM.cu:2527-2542)."""
-    cfg = preset("reference", nx=4, ny=4, nz=33, enable_ek=False, exf=0.0, D=D)
+    tau~ = D/(cs_s^2 dt) with cs_s the *scalar lattice's* sound speed.
+    Verified exact (6 digits) at three diffusivities and on the reduced
+    D3Q7 scalar lattice; the reference's own outputs extrapolate wall nodes
+    for the same reason (LBM.cu:2527-2542)."""
+    cfg = preset("reference", nx=4, ny=4, nz=33, enable_ek=False, exf=0.0,
+                 D=D, scalar_lattice=scalar_lattice)
     state, _ = initialize(cfg)
     state = multi_step(cfg, state, 6000)
     macro, _ = compute_macro(cfg, state)
     temp = np.asarray(macro.temp).mean(axis=(1, 2))
 
     g = cfg.grid
-    tau = D / cfg.cs2 / cfg.dt
+    tau = D / cfg.cs2_s / cfg.dt
     offset = tau + 0.5
     z = np.arange(g.nz, dtype=float)
     z_lo = 1.0 - offset
@@ -166,6 +171,35 @@ def test_single_species_matches_two_species_with_zero_negative():
     np.testing.assert_allclose(np.asarray(s1.h), np.asarray(s2.h), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(s1.phi), np.asarray(s2.phi), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(s2.hn), 0.0, atol=0)
+
+
+def test_d3q7_scalars_match_full_lattice_steady_state():
+    """The D3Q7 scalar-transport lattice solves the same Nernst-Planck /
+    advection-diffusion physics as the reference's full-lattice scalars
+    (it differs only in discretization): after the same number of steps the
+    macroscopic charge fields of the two discretizations must agree to
+    discretization error, and the ionic mass must be conserved equally."""
+    cfg27 = preset("reference", nx=10, ny=4, nz=17)
+    cfg7 = preset("reference", nx=10, ny=4, nz=17, scalar_lattice="D3Q7")
+    s27, _ = initialize(cfg27)
+    s7, _ = initialize(cfg7)
+    assert s7.h.shape[0] == 7 and s27.h.shape[0] == 27
+    s27 = multi_step(cfg27, s27, 200)
+    s7 = multi_step(cfg7, s7, 200)
+    c27 = np.asarray(jnp.sum(s27.h, axis=0))
+    c7 = np.asarray(jnp.sum(s7.h, axis=0))
+    # same double-layer structure to discretization error
+    np.testing.assert_allclose(c7, c27, rtol=2e-3)
+    # Temperature is NOT compared point-wise here: the anti-bounce-back
+    # Dirichlet scheme's effective wall plane sits tau~ + 1/2 cells out and
+    # tau~ = D/(cs_s^2 dt) differs between the lattices (cs^2 = 1/3 vs 1/4),
+    # so the steady profiles differ by a few % near the walls by design.
+    # test_thermal_conduction_steady_state validates the D3Q7 profile
+    # against the offset-corrected analytic solution instead.
+    t27 = np.asarray(jnp.sum(s27.g, axis=0))
+    t7 = np.asarray(jnp.sum(s7.g, axis=0))
+    assert np.isfinite(t7).all()
+    assert abs(t7.mean() - t27.mean()) < 5e-2 * abs(t27.mean())
 
 
 def test_joule_heating_raises_temperature():
