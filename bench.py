@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--pallas", action="store_true", default=None)
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
+    ap.add_argument("--scalar-lattice", default="D3Q7",
+                    help="lattice for the scalar-transport fields: D3Q7 "
+                    "(default — ADE-complete, 7/27 the HBM traffic per "
+                    "scalar field) | same (reference parity, every field "
+                    "on the full hydrodynamic lattice)")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +63,7 @@ def main():
                 fft_method="matmul" if backend != "cpu" else "auto",
                 enable_ek=ek,
                 enable_thermal=ek,
+                scalar_lattice=args.scalar_lattice if ek else "same",
                 use_pallas=(args.pallas if args.pallas is not None
                             else backend != "cpu" and n % 128 == 0),
             )
@@ -97,14 +103,22 @@ def main():
         print(json.dumps({"metric": "MLUPS/chip", "value": 0, "unit": "MLUPS", "vs_baseline": 0}))
         return 1
 
-    nfields = 4 if args.mode == "coupled" else 1
     dsize = jnp.dtype(args.dtype).itemsize
-    bytes_per_node = nfields * 27 * 2 * dsize + (48 + 128 if args.mode == "coupled" else 0)
+    # direction slots actually moved per node per step: fluid lattice +
+    # 3 scalar fields on the (possibly reduced) scalar lattice
+    if args.mode == "coupled":
+        q_s = cfg.scalar_lat.Q
+        dir_slots = cfg.lattice.Q + 3 * q_s
+        bytes_per_node = dir_slots * 2 * dsize + 48 + 128
+        lat_tag = f", scalars {cfg.scalar_lat.name}"
+    else:
+        bytes_per_node = cfg.lattice.Q * 2 * dsize
+        lat_tag = ""
     hbm_bw = float(os.environ.get("EKPNP_HBM_BW", 819e9))
     roofline = hbm_bw / bytes_per_node / 1e6
     label = (
         f"MLUPS/chip full coupled EK-PNP-thermal step at {result['n']}^3 "
-        f"({args.dtype}, {backend})"
+        f"({args.dtype}, {backend}{lat_tag})"
         if args.mode == "coupled"
         else f"MLUPS/chip fluid-only step at {result['n']}^3 ({args.dtype}, {backend})"
     )
