@@ -27,7 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=0, help="cubic grid edge (0 = auto)")
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--mode", choices=["coupled", "fluid"], default="coupled")
+    ap.add_argument("--mode", choices=["coupled", "fluid", "poisson"],
+                    default="coupled")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--pallas", action="store_true", default=None)
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
@@ -49,6 +50,48 @@ def main():
     sizes = [args.size] if args.size else [256, 192, 128, 96, 64]
     backend = jax.default_backend()
     dev = jax.devices()[0]
+
+    if args.mode == "poisson":
+        # BASELINE.json: "FFT Poisson ms/step tracked as first-class metric"
+        from ekpnp.ops.poisson import poisson_phi_from_rhs
+
+        for n in sizes:
+            try:
+                cfg = preset(
+                    "reference", nx=n, ny=n, nz=n + 1, dtype=args.dtype,
+                    fft_method="matmul" if backend != "cpu" else "auto",
+                )
+                dtype = jnp.dtype(args.dtype)
+                rhs = jnp.ones((cfg.grid.nz - 2,) + cfg.grid.shape[1:], dtype)
+                solve = jax.jit(lambda r: poisson_phi_from_rhs(cfg, r, None))
+                phi = solve(rhs)
+                float(jnp.sum(phi[0, 0]))
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    phi = solve(rhs)
+                float(jnp.sum(phi[0, 0]))
+                ms = (time.perf_counter() - t0) / args.steps * 1e3
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                    continue
+                raise
+            # roofline: ~10 field-sized passes (rhs r, 3 fwd + 3 inv
+            # transform stage r/w pairs counted once each, phi w) at HBM BW
+            hbm_bw = float(os.environ.get("EKPNP_HBM_BW", 819e9))
+            dsize = jnp.dtype(args.dtype).itemsize
+            vol_bytes = cfg.grid.num_nodes * dsize
+            floor_ms = 10 * vol_bytes / hbm_bw * 1e3
+            print(json.dumps({
+                "metric": f"spectral Poisson solve ms/step at {n}^3 "
+                          f"({args.dtype}, {backend})",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(floor_ms / ms, 4),
+            }))
+            return 0
+        print(json.dumps({"metric": "poisson ms/step", "value": 0,
+                          "unit": "ms", "vs_baseline": 0}))
+        return 1
 
     result = None
     for n in sizes:

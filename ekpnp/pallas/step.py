@@ -44,14 +44,11 @@ def step_pallas(cfg: Config, state: State, mesh=None, interpret: bool = False,
 
 @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
 def multi_step_pallas(cfg: Config, state: State, n: int) -> State:
-    # two steps per scan body so the buffers ping-pong without carry
-    # copies — see ekpnp.step.multi_step
-    def body2(carry, _):
-        mid, _ = step_pallas(cfg, carry)
-        new, _ = step_pallas(cfg, mid)
+    # unroll=2 so the buffers ping-pong without carry copies — see
+    # ekpnp.step.multi_step
+    def body(carry, _):
+        new, _ = step_pallas(cfg, carry)
         return new, None
 
-    state, _ = jax.lax.scan(body2, state, None, length=n // 2)
-    if n % 2:
-        state, _ = step_pallas(cfg, state)
+    state, _ = jax.lax.scan(body, state, None, length=n, unroll=2)
     return state

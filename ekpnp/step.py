@@ -77,22 +77,20 @@ def multi_step(cfg: Config, state: State, n: int) -> State:
     every step (LBM.cu:807-813); here the inner loop carries populations
     only, saving HBM traffic.
 
-    The scan body runs TWO steps: an XLA while-loop must update its carry
+    The scan is unrolled x2: an XLA while-loop must update its carry
     buffers in place, and the fused Pallas call (no input/output aliasing)
-    writes fresh output buffers — with one step per body XLA inserts a
-    full copy of every population field to restore the carry placement
-    (~22 ms/step at 256^3).  With a step pair, liveness lets XLA assign the
-    second call's outputs straight to the first call's dead inputs — the
-    buffers ping-pong A->B->A and the copies vanish, exactly the
-    reference's f1/f2 pointer swap (main.cu:192) reborn as buffer
-    assignment."""
+    writes fresh output buffers — with one step per iteration XLA inserts
+    a full copy of every population field to restore the carry placement
+    (~22 ms/step at 256^3).  With a step pair per iteration, liveness lets
+    XLA assign the second call's outputs straight to the first call's dead
+    inputs — the buffers ping-pong A->B->A and the copies vanish, exactly
+    the reference's f1/f2 pointer swap (main.cu:192) reborn as buffer
+    assignment (measured: unroll=2 also beats a hand-written 2-step body
+    by ~3% at 256^3 and needs no odd-step epilogue)."""
 
-    def body2(carry, _):
-        mid, _ = step(cfg, carry)
-        new, _ = step(cfg, mid)
+    def body(carry, _):
+        new, _ = step(cfg, carry)
         return new, None
 
-    state, _ = jax.lax.scan(body2, state, None, length=n // 2)
-    if n % 2:
-        state, _ = step(cfg, state)
+    state, _ = jax.lax.scan(body, state, None, length=n, unroll=2)
     return state
