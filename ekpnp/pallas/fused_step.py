@@ -508,26 +508,42 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             # Poisson RHS out: -convertCtoCharge (c+ - c-)/eps from the
             # pre-collision moments (odd_extension interior rows,
             # poisson.cu:118-137) — the spectral solve consumes it with no
-            # RHS-build pass.  Double-buffered async: a synchronous wait
-            # here would queue behind the in-flight window/emit DMAs and
+            # RHS-build pass.  Only the NZ-2 interior planes are emitted
+            # (out index plane_s - 1): the DST-I path never reads the wall
+            # rows, and emitting them forced a 67 MB interior-slice copy on
+            # the XLA side.  Double-buffered async: a synchronous wait here
+            # would queue behind the in-flight window/emit DMAs and
             # serialize every plane step (measured ~7 ms/step at 256^3).
             if ek:
                 cb = jax.lax.rem(jnp.int32(plane_s), jnp.int32(2))
                 if isinstance(plane_s, int):
-                    pass  # planes 0 and 1 (startup): nothing outstanding yet
+                    # startup planes (s==1): plane 1 issues the first copy,
+                    # plane 0 is a wall row — nothing emitted, no waits
+                    if plane_s == 1:
+                        rhsb[cb] = ((cn[1 : TY + 1] - c[1 : TY + 1])
+                                    if nspec == 2 else -c[1 : TY + 1]) \
+                            * cst(kappa / p.eps)
+                        pltpu.make_async_copy(
+                            rhsb.at[cb], out_rhs.at[0, pl.ds(y0, TY), :],
+                            sem_cmom.at[cb]).start()
                 else:
-                    @pl.when(plane_s >= 2)
+                    @pl.when(plane_s >= 3)
                     def _():
+                        # same-parity copy issued at plane_s-2 -> out plane_s-3
                         pltpu.make_async_copy(
                             rhsb.at[cb],
-                            out_rhs.at[plane_s - 2, pl.ds(y0, TY), :],
+                            out_rhs.at[plane_s - 3, pl.ds(y0, TY), :],
                             sem_cmom.at[cb]).wait()
-                diff = (cn[1 : TY + 1] - c[1 : TY + 1]) if nspec == 2 \
-                    else -c[1 : TY + 1]
-                rhsb[cb] = diff * cst(kappa / p.eps)
-                pltpu.make_async_copy(
-                    rhsb.at[cb], out_rhs.at[plane_s, pl.ds(y0, TY), :],
-                    sem_cmom.at[cb]).start()
+
+                    @pl.when(plane_s <= NZ - 2)
+                    def _():
+                        rhsb[cb] = ((cn[1 : TY + 1] - c[1 : TY + 1])
+                                    if nspec == 2 else -c[1 : TY + 1]) \
+                            * cst(kappa / p.eps)
+                        pltpu.make_async_copy(
+                            rhsb.at[cb],
+                            out_rhs.at[plane_s - 1, pl.ds(y0, TY), :],
+                            sem_cmom.at[cb]).start()
 
             if is_lower_wall or is_upper_wall:
                 reflect_store(0, in_slot, slot, with_wall_term=is_upper_wall)
@@ -709,11 +725,14 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             drain_interior(NZ - 1)
             drain_interior(NZ - 2)
             if ek:
-                for plane in (NZ - 2, NZ - 1):
-                    pltpu.make_async_copy(
-                        rhsb.at[plane % 2],
-                        out_rhs.at[plane, pl.ds(y0, TY), :],
-                        sem_cmom.at[plane % 2]).wait()
+                # plane NZ-2's copy (-> out NZ-3) is the only one that can
+                # still be in flight: plane NZ-1 issues none, and NZ-3's was
+                # waited at collide_plane(NZ-1)
+                plane = NZ - 2
+                pltpu.make_async_copy(
+                    rhsb.at[plane % 2],
+                    out_rhs.at[plane - 1, pl.ds(y0, TY), :],
+                    sem_cmom.at[plane % 2]).wait()
             emit_wall(NZ - 1, slot_e=(NZ - 1) % 3, f_src_for_down=f_pin)
             slot_top = (NZ - 1) % 3
             up_dirs = [d for d in range(Q) if E_[d][2] == 1]
@@ -728,7 +747,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     out_shapes = [jax.ShapeDtypeStruct((q, NZ, NY, NX), dtype) for q in QS]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(nf)]
     if ek:
-        out_shapes.append(jax.ShapeDtypeStruct((NZ, NY, NX), dtype))
+        # interior Poisson-RHS planes only (z = 1 .. NZ-2)
+        out_shapes.append(jax.ShapeDtypeStruct((NZ - 2, NY, NX), dtype))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     scratch = []

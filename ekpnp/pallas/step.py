@@ -27,14 +27,15 @@ def _get_fused(cfg: Config, dtype_name: str, interpret: bool, ty: int):
 def step_pallas(cfg: Config, state: State, mesh=None, interpret: bool = False,
                 ty_override: int = 0):
     """One fused timestep.  Returns (state', rhs) — the kernel-emitted
-    Poisson RHS from this step's pre-collision ion moments (what the
-    reference stores in collide and feeds to fast_Poisson)."""
+    interior Poisson-RHS planes (z = 1..NZ-2) from this step's
+    pre-collision ion moments (what the reference stores in collide and
+    feeds to fast_Poisson)."""
     p = cfg.physics
     fused = _get_fused(cfg, state.f.dtype.name, interpret, ty_override)
     f1, h1, hn1, g1, rhs = fused(state.f, state.h, state.hn, state.g, state.phi)
     phi = state.phi
     if p.enable_ek:
-        phi = poisson_phi_from_rhs(cfg, rhs[1:-1], mesh)
+        phi = poisson_phi_from_rhs(cfg, rhs, mesh)
     dt = state.t.dtype.type(p.dt(cfg.grid.dx))
     return (
         State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, t=state.t + dt),

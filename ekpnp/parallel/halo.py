@@ -143,7 +143,7 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
     if ek:
         from ..ops.poisson import poisson_phi_from_rhs
 
-        phi = poisson_phi_from_rhs(cfg, rhs[1:-1], mesh)
+        phi = poisson_phi_from_rhs(cfg, rhs, mesh)
         phi = jax.lax.with_sharding_constraint(phi, NamedSharding(mesh, sca_s))
 
     dt = state.t.dtype.type(p.dt(cfg.grid.dx))
@@ -159,14 +159,11 @@ def make_halo_multi_step(cfg: Config, mesh: Mesh, n: int,
     st_sh = state_shardings(cfg, mesh)
 
     def run(s):
-        # two steps per scan body so buffers ping-pong (see step.multi_step)
-        def body2(carry, _):
-            mid = step_halo(cfg, carry, mesh, interpret)
-            return step_halo(cfg, mid, mesh, interpret), None
+        # unroll=2 so buffers ping-pong (see step.multi_step)
+        def body(carry, _):
+            return step_halo(cfg, carry, mesh, interpret), None
 
-        out, _ = jax.lax.scan(body2, s, None, length=n // 2)
-        if n % 2:
-            out = step_halo(cfg, out, mesh, interpret)
+        out, _ = jax.lax.scan(body, s, None, length=n, unroll=2)
         return out
 
     return jax.jit(run, in_shardings=(st_sh,), out_shardings=st_sh,

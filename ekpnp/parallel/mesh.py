@@ -169,16 +169,13 @@ def make_sharded_multi_step(cfg, mesh: Mesh, n: int):
     st_sh = state_shardings(cfg, mesh)
 
     def run(s):
-        # two steps per scan body so the buffers ping-pong without carry
-        # copies — see ekpnp.step.multi_step
-        def body2(carry, _):
-            mid, _ = step(cfg, carry, mesh=mesh)
-            new, _ = step(cfg, mid, mesh=mesh)
+        # unroll=2 so buffers ping-pong without carry copies — see
+        # ekpnp.step.multi_step
+        def body(carry, _):
+            new, _ = step(cfg, carry, mesh=mesh)
             return new, None
 
-        out, _ = jax.lax.scan(body2, s, None, length=n // 2)
-        if n % 2:
-            out, _ = step(cfg, out, mesh=mesh)
+        out, _ = jax.lax.scan(body, s, None, length=n, unroll=2)
         return out
 
     return jax.jit(run, in_shardings=(st_sh,), out_shardings=st_sh, donate_argnums=(0,))

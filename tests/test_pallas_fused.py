@@ -85,6 +85,13 @@ def test_fused_fluid_only_d3q19():
     _compare(cfg)
 
 
+def test_fused_two_species_no_thermal():
+    # BASELINE config 3 (ek-pnp): both ion species, no temperature field
+    cfg = preset("ek-pnp", nx=16, ny=8, nz=9, fft_method="matmul")
+    assert cfg.physics.two_species and not cfg.physics.enable_thermal
+    _compare(cfg)
+
+
 def test_fused_single_species():
     # BASELINE config 2 (single ion species) through the fused kernel
     cfg = preset("ek-channel", nx=16, ny=8, nz=9, fft_method="matmul")
