@@ -61,6 +61,31 @@ def check_finite(state) -> bool:
     return bool(ok)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def series_point(cfg: Config, state):
+    """All per-cadence diagnostics in ONE device program returning five
+    scalars — (umax_uz, umax_mag, current, mean_T, finite) — so the driver
+    pays a single host roundtrip per event instead of one per quantity
+    (the reference does three D2H array copies per event, main.cu:212-216)."""
+    from .ops.collide import compute_macro
+    from .ops.poisson import efield
+
+    macro, _ = compute_macro(cfg, state)
+    um = jnp.max(macro.u[2])
+    umag = jnp.sqrt(jnp.max(jnp.sum(macro.u * macro.u, axis=0)))
+    if cfg.physics.enable_ek:
+        E = efield(cfg, state.phi)
+        cur = ionic_current(cfg, macro.charge, macro.chargen, E[2])
+    else:
+        cur = jnp.zeros((), macro.rho.dtype)
+    mean_t = (jnp.mean(macro.temp) if macro.temp is not None
+              else jnp.zeros((), macro.rho.dtype))
+    finite = jnp.array(True)
+    for l in jax.tree_util.tree_leaves(state):
+        finite = finite & jnp.all(jnp.isfinite(l))
+    return um, umag, cur, mean_t, finite
+
+
 def dimensionless_banner(cfg: Config) -> str:
     """Printable dimensionless-group report (reference compute_parameters,
     LBM.cu:2419-2446 + main.cu:40-53)."""

@@ -83,6 +83,26 @@ def _pick_ty(cfg, qs, vmem_budget=64 * 1024 * 1024):
     return None
 
 
+def fused_supported(cfg: Config) -> bool:
+    """True when this configuration can run the fused kernel (shape and
+    lattice constraints below; compiled-mode TPU also needs float32)."""
+    g = cfg.grid
+    if g.nz < 4 or g.ny % 8:
+        return False
+    # NX must span whole 128-lane tiles: the window DMAs and lane rolls
+    # crash the Mosaic compiler on partial lane tiles (measured: every
+    # NX < 128 fails remote compile, NX = 128/256 succeed)
+    if g.nx % 128:
+        return False
+    for l in {cfg.lattice, cfg.scalar_lat}:
+        if not all(int(l.OPP[i]) == i + 1 for i in range(1, l.Q, 2)):
+            return False
+    nspec = (2 if cfg.physics.two_species else 1) if cfg.physics.enable_ek else 0
+    nf = 1 + nspec + (1 if cfg.physics.enable_thermal else 0)
+    qs = [cfg.lattice.Q] + [cfg.scalar_lat.Q] * (nf - 1)
+    return _pick_ty(cfg, qs) is not None
+
+
 def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      ty_override: int = 0, halo: bool = False):
     """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).

@@ -70,22 +70,36 @@ def cmd_run(args):
         import jax
 
         jax.distributed.initialize()
+    import jax
+
+    # TPU default precision is f32 (f64 is software-emulated and has no
+    # native FFT); an explicit --precision or --set dtype=... always wins.
+    # The f64 CPU path remains the reference-parity validation mode.
+    if (args.precision is None
+            and "dtype" not in _parse_overrides(args.set)
+            and jax.default_backend() != "cpu"):
+        args.precision = "f32"
+
     cfg = build_config(args)
     if cfg.run.dtype == "float64":
-        import jax
-
         jax.config.update("jax_enable_x64", True)
 
-    import jax
     import jax.numpy as jnp
 
-    from .diagnostics import (
-        check_finite,
-        dimensionless_banner,
-        ionic_current,
-        umax,
-        velocity_magnitude_max,
-    )
+    # auto-enable the fused Pallas kernel on TPU f32 runs when the shapes
+    # support it (the user's explicit --set use_pallas=... always wins)
+    if "use_pallas" not in _parse_overrides(args.set):
+        from .pallas.fused_step import fused_supported
+
+        if (jax.default_backend() != "cpu" and cfg.run.dtype == "float32"
+                and fused_supported(cfg)):
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, run=dataclasses.replace(cfg.run, use_pallas=True)
+            )
+
+    from .diagnostics import dimensionless_banner, series_point
     from .init import initialize
     from .io import checkpoint as ckpt
     from .io import tecplot
@@ -94,7 +108,9 @@ def cmd_run(args):
 
     print(dimensionless_banner(cfg))
     print(f"  timesteps: {cfg.run.nsteps}  save every: {cfg.run.nsave}")
-    print(f"  dtype: {cfg.run.dtype}  lattice: {cfg.run.lattice}")
+    print(f"  dtype: {cfg.run.dtype}  lattice: {cfg.run.lattice}"
+          f"  scalars: {cfg.scalar_lat.name}"
+          f"  fused kernel: {'on' if cfg.run.use_pallas else 'off'}")
     print(f"  devices: {jax.devices()}")
 
     outdir = cfg.run.outdir
@@ -124,11 +140,13 @@ def cmd_run(args):
     macro_fn = jax.jit(compute_macro, static_argnums=(0,))
     from .ops.poisson import efield
 
+    efield_jit = jax.jit(efield, static_argnums=(0,))
+
     def efield_now(st):
         """E = -grad(phi) for I/O and diagnostics (E is not state)."""
         if not cfg.physics.enable_ek:
             return None
-        return jax.jit(lambda ph: efield(cfg, ph))(st.phi)
+        return efield_jit(cfg, st.phi)
 
     macro, _ = macro_fn(cfg, state)
     E_io = efield_now(state)
@@ -143,26 +161,42 @@ def cmd_run(args):
     nsave = max(1, cfg.run.nsave)
     ncur = max(1, cfg.run.print_current)
 
-    _sharded_cache = {}
+    _adv_cache = {}
+
+    def _compile_advance(st, n):
+        """AOT-compile the n-step program (no execution, state untouched)."""
+        if mesh is None:
+            fn = multi_step.lower(cfg, st, n).compile()
+        else:
+            from .parallel.mesh import make_sharded_multi_step
+
+            fn = make_sharded_multi_step(cfg, mesh, n).lower(st).compile()
+        _adv_cache[n] = fn
+        return fn
 
     def advance(st, n):
-        if mesh is None:
-            return multi_step(cfg, st, n)
-        from .parallel.mesh import make_sharded_multi_step
-
-        fn = _sharded_cache.get(n)
-        if fn is None:
-            fn = _sharded_cache[n] = make_sharded_multi_step(cfg, mesh, n)
+        fn = _adv_cache.get(n) or _compile_advance(st, n)
         return fn(st)
 
     # warm up compilation outside the timed loop (reference times kernels
-    # only, main.cu:185-186)
+    # only, main.cu:185-186): run one step, then AOT-compile every distinct
+    # chunk size the cadence schedule will request (compile-only — no
+    # execution, so the state is untouched)
     if mesh is None:
         state, macro = step_jit(cfg, state)
     else:
         state = advance(state, 1)
     jax.block_until_ready(state.f)
     done = 1
+
+    chunks = set()
+    d = done
+    while d < nsteps:
+        nxt = min(((d // nsave) + 1) * nsave, ((d // ncur) + 1) * ncur, nsteps)
+        chunks.add(nxt - d)
+        d = nxt
+    for chunk in sorted(chunks):
+        _compile_advance(state, chunk)
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -178,16 +212,9 @@ def cmd_run(args):
         done = next_event
 
         if done % ncur == 0 or done == nsteps:
-            macro, _ = macro_fn(cfg, state)
-            E_io = efield_now(state)
-            um = float(umax(macro.u))
-            umag = float(velocity_magnitude_max(macro.u))
-            cur = (
-                float(ionic_current(cfg, macro.charge, macro.chargen, E_io[2]))
-                if cfg.physics.enable_ek
-                else 0.0
-            )
-            mean_t = float(jnp.mean(macro.temp)) if macro.temp is not None else 0.0
+            # one device program + one host roundtrip for the whole event
+            um, umag, cur, mean_t, finite = (
+                float(x) for x in jax.device_get(series_point(cfg, state)))
             t_now = float(state.t)
             fumax.write(f"{t_now:10.6f} {um:10.6f}\n")
             fcsv.write(f"{done},{t_now:.9e},{um:.9e},{umag:.9e},{cur:.9e},{mean_t:.9e}\n")
@@ -195,7 +222,7 @@ def cmd_run(args):
                 f"Iteration: {done}, physical time: {t_now:g}, Current = {cur:g}, "
                 f"umax = {um:g}"
             )
-            if not check_finite(state):
+            if not finite:
                 print("ERROR: non-finite state detected; aborting", file=sys.stderr)
                 return 2
 
@@ -234,6 +261,16 @@ def cmd_run(args):
     print(f"           timesteps: {nsteps}")
     print(f"       clock runtime: {runtime:.3f} (s)")
     print(f"               speed: {mlups:.2f} (Mlups)")
+    # actual per-node traffic: every active field's directions, read+write
+    # (the reference's own printout counts only the fluid field,
+    # main.cu:236-245 — a catalogued quirk, SURVEY.md §7.4)
+    nsc = ((2 if cfg.physics.two_species else 1) if cfg.physics.enable_ek
+           else 0) + (1 if cfg.physics.enable_thermal else 0)
+    dirs = cfg.lattice.Q + nsc * cfg.scalar_lat.Q
+    dsize = jnp.dtype(cfg.run.dtype).itemsize
+    gib = nodes_updated * dirs * 2 * dsize / (1024.0 ** 3) / runtime
+    print(f"           bandwidth: {gib:.1f} (GiB/s), all-field population "
+          f"traffic")
     return 0
 
 
