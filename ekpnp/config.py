@@ -192,7 +192,12 @@ class RunConfig:
                                   # traffic per scalar field) | "D3Q19"
     use_pallas: bool = False      # fused Pallas collide path
     fft_method: str = "auto"      # "auto" | "fft" | "matmul" (MXU DFT)
-    perturb_first_step: bool = False  # seed square convection pattern
+    perturb_first_step: bool = False  # seed a convection pattern at step 0
+    perturb_pattern: str = "square"   # "square" (reference LBM.cu:651-654) |
+                                      # "hexagon" (the reference's commented
+                                      # intent, LBM.cu:655-661, with the
+                                      # algebra corrected — see
+                                      # ops/collide.perturbation_velocity)
     LL: float = 0.5               # perturbation wavelength ratio (LBM.h:39)
     outdir: str = "out"
 

@@ -57,10 +57,24 @@ def body_force(cfg: Config, charge, chargen, temp, E, dtype):
 
 
 def perturbation_velocity(cfg: Config, dtype):
-    """Square convection-roll seeding pattern (reference LBM.cu:646-661).
+    """Convection-roll seeding pattern (reference LBM.cu:646-661).
 
-    Reproduced verbatim including the reference's use of *dimensional*
-    coordinates inside the trigonometric arguments.
+    "square": reproduced verbatim from LBM.cu:651-654, including the
+    reference's use of *dimensional* coordinates inside the trigonometric
+    arguments.
+
+    "hexagon": the reference carries a hexagonal planform as dead commented
+    code (LBM.cu:655-661; it would not even compile — it uses `^` as a
+    power operator).  Implemented here with the algebra corrected: the
+    planform F = [2 cos(a x) cos(b y) + cos(2 b y)]/3 with a = 2pi/(sqrt3 L),
+    b = 2pi/(3 L) is an eigenfunction of the horizontal Laplacian with
+    k^2 = a^2 + b^2 = (2b)^2, so
+
+        uz = (cos(2 pi z) - 1) F,
+        ux = -(2 pi / k^2) sin(2 pi z) dF/dx,
+        uy = -(2 pi / k^2) sin(2 pi z) dF/dy
+
+    is exactly divergence-free (tests/test_physics.py pins this).
     """
     g = cfg.grid
     LL = cfg.run.LL
@@ -71,9 +85,24 @@ def perturbation_velocity(cfg: Config, dtype):
     xx = x * dtype.type(g.dx)
     yy = y * dtype.type(g.dy)
     zz = (z - 0.5) * dtype.type(g.dz)
-    uz = (jnp.cos(two_pi * zz) - 1.0) * jnp.cos(two_pi / LL * xx) * jnp.cos(two_pi / LL * yy)
-    ux = 0.5 * LL * jnp.sin(two_pi * zz) * jnp.sin(two_pi / LL * xx) * jnp.cos(two_pi / LL * yy)
-    uy = 0.5 * LL * jnp.sin(two_pi * zz) * jnp.sin(two_pi / LL * yy) * jnp.cos(two_pi / LL * xx)
+    pattern = cfg.run.perturb_pattern
+    if pattern == "square":
+        uz = (jnp.cos(two_pi * zz) - 1.0) * jnp.cos(two_pi / LL * xx) * jnp.cos(two_pi / LL * yy)
+        ux = 0.5 * LL * jnp.sin(two_pi * zz) * jnp.sin(two_pi / LL * xx) * jnp.cos(two_pi / LL * yy)
+        uy = 0.5 * LL * jnp.sin(two_pi * zz) * jnp.sin(two_pi / LL * yy) * jnp.cos(two_pi / LL * xx)
+    elif pattern == "hexagon":
+        a = two_pi / (math.sqrt(3.0) * LL)
+        b = two_pi / (3.0 * LL)
+        k2 = a * a + b * b  # = (2b)^2 for every planform component
+        F = (2.0 * jnp.cos(a * xx) * jnp.cos(b * yy) + jnp.cos(2.0 * b * yy)) / 3.0
+        dFdx = -(2.0 * a / 3.0) * jnp.sin(a * xx) * jnp.cos(b * yy)
+        dFdy = (-(2.0 * b / 3.0) * jnp.cos(a * xx) * jnp.sin(b * yy)
+                - (2.0 * b / 3.0) * jnp.sin(2.0 * b * yy))
+        uz = (jnp.cos(two_pi * zz) - 1.0) * F
+        ux = -(two_pi / k2) * jnp.sin(two_pi * zz) * dFdx
+        uy = -(two_pi / k2) * jnp.sin(two_pi * zz) * dFdy
+    else:
+        raise ValueError(f"unknown perturb_pattern {pattern!r}")
     shape = g.shape
     return jnp.stack(
         [jnp.broadcast_to(ux, shape), jnp.broadcast_to(uy, shape), jnp.broadcast_to(uz, shape)]

@@ -132,7 +132,7 @@ def _gspmd_cfg(cfg):
     )
 
 
-def make_sharded_step(cfg, mesh: Mesh):
+def make_sharded_step(cfg, mesh: Mesh, perturb: bool = False):
     """jit-compiled step with explicit in/out shardings (GSPMD path)."""
     from ..step import step
 
@@ -141,7 +141,7 @@ def make_sharded_step(cfg, mesh: Mesh):
     st_sh = state_shardings(cfg, mesh)
     mac_sh = macro_shardings(cfg, mesh)
     return jax.jit(
-        lambda s: step(cfg, s, mesh=mesh),
+        lambda s: step(cfg, s, perturb=perturb, mesh=mesh),
         in_shardings=(st_sh,),
         out_shardings=(st_sh, mac_sh),
         donate_argnums=(0,),

@@ -179,13 +179,18 @@ def cmd_run(args):
         return fn(st)
 
     # warm up compilation outside the timed loop (reference times kernels
-    # only, main.cu:185-186): run one step, then AOT-compile every distinct
-    # chunk size the cadence schedule will request (compile-only — no
-    # execution, so the state is untouched)
+    # only, main.cu:185-186): run one step — seeding the convection pattern
+    # if configured (reference perturb flag, LBM.h:18: a one-shot applied on
+    # the first collide; never applied on restarts) — then AOT-compile every
+    # distinct chunk size the cadence schedule will request (compile-only,
+    # state untouched)
+    perturb0 = bool(cfg.run.perturb_first_step) and not args.resume
     if mesh is None:
-        state, macro = step_jit(cfg, state)
+        state, macro = step_jit(cfg, state, perturb0)
     else:
-        state = advance(state, 1)
+        from .parallel.mesh import make_sharded_step
+
+        state, _ = make_sharded_step(cfg, mesh, perturb=perturb0)(state)
     jax.block_until_ready(state.f)
     done = 1
 

@@ -63,9 +63,9 @@ def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[S
     return new, macro
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def step_jit(cfg: Config, state: State) -> tuple[State, Macro]:
-    return step(cfg, state)
+@partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
+def step_jit(cfg: Config, state: State, perturb: bool = False) -> tuple[State, Macro]:
+    return step(cfg, state, perturb=perturb)
 
 
 @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))

@@ -202,6 +202,45 @@ def test_d3q7_scalars_match_full_lattice_steady_state():
     assert abs(t7.mean() - t27.mean()) < 5e-2 * abs(t27.mean())
 
 
+@pytest.mark.parametrize("pattern", ["square", "hexagon"])
+def test_perturbation_divergence_free(pattern):
+    """Both convection seedings (reference LBM.cu:646-661; the hexagonal
+    planform is the reference's commented intent with corrected algebra)
+    must be divergence-free: centered-difference div(u) ~ O(h^2) relative
+    to the velocity-gradient scale on a pattern-periodic domain."""
+    import math
+
+    from ekpnp.ops.collide import perturbation_velocity
+
+    LL = 0.5
+    n = 48
+    lx = (math.sqrt(3.0) * LL) if pattern == "hexagon" else LL
+    ly = (3.0 * LL) if pattern == "hexagon" else LL
+    cfg = preset(
+        "reference", nx=n, ny=n, nz=n + 1, LL=LL, perturb_pattern=pattern,
+        dx=lx / n, dy=ly / n, dz=1.0 / n,
+    )
+    u = np.asarray(perturbation_velocity(cfg, jnp.dtype("float64")))
+    g = cfg.grid
+    dudx = (np.roll(u[0], -1, axis=2) - np.roll(u[0], 1, axis=2)) / (2 * g.dx)
+    dvdy = (np.roll(u[1], -1, axis=1) - np.roll(u[1], 1, axis=1)) / (2 * g.dy)
+    dwdz = (u[2][2:] - u[2][:-2]) / (2 * g.dz)
+    div = dudx[1:-1] + dvdy[1:-1] + dwdz
+    scale = max(np.abs(dudx).max(), np.abs(dvdy).max(), np.abs(dwdz).max())
+    assert scale > 0.0
+    assert np.abs(div).max() < 0.02 * scale
+    # the seeding actually stirs the fluid
+    assert np.abs(u).max() > 0.1
+
+
+def test_perturb_step_hexagon_runs():
+    cfg = preset("reference", nx=10, ny=4, nz=17, perturb_pattern="hexagon")
+    state, _ = initialize(cfg)
+    state, macro = step(cfg, state, perturb=True)
+    for leaf in jax.tree_util.tree_leaves(state):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_joule_heating_raises_temperature():
     """The Joule extension (BASELINE config 4): joule > 0 must inject heat
     proportional to (c+ + c-) |E|^2; joule = 0 is reference parity."""

@@ -95,6 +95,31 @@ def test_halo_shardmap_matches_single_pallas(eight_devices):
         )
 
 
+def test_halo_shardmap_d3q7_scalars(eight_devices):
+    """Mixed per-field lattices (D3Q27 fluid + D3Q7 scalars) through the
+    shard_map halo path: the exchanged halo blocks have per-field
+    direction counts."""
+    from ekpnp.parallel import halo as phalo
+    from ekpnp.pallas.step import step_pallas
+
+    cfg = preset("reference", nx=16, ny=32, nz=9, fft_method="matmul",
+                 use_pallas=True, scalar_lattice="D3Q7")
+    state, _ = initialize(cfg)
+    assert state.h.shape[0] == 7 and state.f.shape[0] == 27
+    s1 = state
+    for _ in range(2):
+        s1, _ = step_pallas(cfg, s1, interpret=True)
+
+    m = pmesh.make_mesh(eight_devices[:4], pencil=False)
+    s4 = pmesh.shard_state(cfg, m, state)
+    for _ in range(2):
+        s4 = phalo.step_halo(cfg, s4, m, interpret=True)
+    for name in ("f", "h", "hn", "g", "phi"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)), np.asarray(getattr(s4, name)),
+            rtol=1e-11, atol=1e-13, err_msg=name)
+
+
 def test_halo_shardmap_single_species(eight_devices):
     """Single-species + fluid-only field layouts through the shard_map
     halo path (inactive fields are absent from the exchanged pytree)."""
