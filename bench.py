@@ -1,182 +1,17 @@
 #!/usr/bin/env python3
-"""Benchmark harness — prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N}
+"""Benchmark harness entry point — prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures the full coupled EK-PNP-thermal step (4 x D3Q27 populations, TRT
-collide + stream + wall BCs + spectral Poisson solve) in f32 on one chip —
-the BASELINE.json headline metric (MLUPS/chip at 256^3; memory permitting,
-falls back to the largest grid that fits).
-
-vs_baseline = measured MLUPS / roofline MLUPS, where roofline = HBM_BW /
-minimum bytes-per-node-per-step:
-  4 fields x 27 directions x (1 read + 1 write) x 4 B     = 864 B
-  macro scalars (rho, u, c+, c-, T, phi w + E r)          ~  48 B
-  Poisson transform passes over the NE-extended volume    ~ 128 B
-(c.f. the reference's own bandwidth accounting, main.cu:236-245, which
-counts only the fluid field.)  HBM_BW default 819e9 (TPU v5e); override
-with EKPNP_HBM_BW.
+Thin wrapper over ekpnp.benchmark (also reachable as `python -m ekpnp
+bench ...`).  See ekpnp/benchmark.py for modes (coupled | fluid | poisson)
+and the roofline accounting.
 """
-import argparse
-import json
 import os
 import sys
-import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=0, help="cubic grid edge (0 = auto)")
-    ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--mode", choices=["coupled", "fluid", "poisson"],
-                    default="coupled")
-    ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--pallas", action="store_true", default=None)
-    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
-    ap.add_argument("--scalar-lattice", default="D3Q7",
-                    help="lattice for the scalar-transport fields: D3Q7 "
-                    "(default — ADE-complete, 7/27 the HBM traffic per "
-                    "scalar field) | same (reference parity, every field "
-                    "on the full hydrodynamic lattice)")
-    args = ap.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-
-    from ekpnp import preset
-    from ekpnp.init import state_from_macro
-    from ekpnp.state import Macro
-    from ekpnp.step import multi_step
-
-    sizes = [args.size] if args.size else [256, 192, 128, 96, 64]
-    backend = jax.default_backend()
-    dev = jax.devices()[0]
-
-    if args.mode == "poisson":
-        # BASELINE.json: "FFT Poisson ms/step tracked as first-class metric"
-        from ekpnp.ops.poisson import poisson_phi_from_rhs
-
-        for n in sizes:
-            try:
-                cfg = preset(
-                    "reference", nx=n, ny=n, nz=n + 1, dtype=args.dtype,
-                    fft_method="matmul" if backend != "cpu" else "auto",
-                )
-                dtype = jnp.dtype(args.dtype)
-                rhs = jnp.ones((cfg.grid.nz - 2,) + cfg.grid.shape[1:], dtype)
-                solve = jax.jit(lambda r: poisson_phi_from_rhs(cfg, r, None))
-                phi = solve(rhs)
-                float(jnp.sum(phi[0, 0]))
-                t0 = time.perf_counter()
-                for _ in range(args.steps):
-                    phi = solve(rhs)
-                float(jnp.sum(phi[0, 0]))
-                ms = (time.perf_counter() - t0) / args.steps * 1e3
-            except Exception as e:
-                if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
-                    continue
-                raise
-            # roofline: ~10 field-sized passes (rhs r, 3 fwd + 3 inv
-            # transform stage r/w pairs counted once each, phi w) at HBM BW
-            hbm_bw = float(os.environ.get("EKPNP_HBM_BW", 819e9))
-            dsize = jnp.dtype(args.dtype).itemsize
-            vol_bytes = cfg.grid.num_nodes * dsize
-            floor_ms = 10 * vol_bytes / hbm_bw * 1e3
-            print(json.dumps({
-                "metric": f"spectral Poisson solve ms/step at {n}^3 "
-                          f"({args.dtype}, {backend})",
-                "value": round(ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(floor_ms / ms, 4),
-            }))
-            return 0
-        print(json.dumps({"metric": "poisson ms/step", "value": 0,
-                          "unit": "ms", "vs_baseline": 0}))
-        return 1
-
-    result = None
-    for n in sizes:
-        ek = args.mode == "coupled"
-        try:
-            cfg = preset(
-                "reference",
-                nx=n,
-                ny=n,
-                nz=n + 1,
-                dtype=args.dtype,
-                fft_method="matmul" if backend != "cpu" else "auto",
-                enable_ek=ek,
-                enable_thermal=ek,
-                scalar_lattice=args.scalar_lattice if ek else "same",
-                use_pallas=(args.pallas if args.pallas is not None
-                            else backend != "cpu" and n % 128 == 0),
-            )
-            dtype = jnp.dtype(args.dtype)
-            shape = cfg.grid.shape
-            macro = Macro(
-                rho=jnp.full(shape, 1000.0, dtype),
-                u=jnp.zeros((3,) + shape, dtype),
-                charge=jnp.full(shape, 0.01, dtype) if ek else None,
-                chargen=jnp.full(shape, 0.01, dtype) if ek else None,
-                temp=jnp.full(shape, 0.5, dtype) if ek else None,
-            )
-            phi = jnp.zeros(shape, dtype) if ek else None
-            E = jnp.zeros((3,) + shape, dtype) if ek else None
-            state = state_from_macro(cfg, macro, phi, E, 0.0)
-            state = jax.block_until_ready(state)
-
-            # compile + warmup with the same static step count as the timed run
-            state = multi_step(cfg, state, args.steps)
-            float(jnp.sum(state.f[0, 0, 0]))
-
-            t0 = time.perf_counter()
-            state = multi_step(cfg, state, args.steps)
-            float(jnp.sum(state.f[0, 0, 0]))  # full sync
-            elapsed = time.perf_counter() - t0
-            per_step = elapsed / args.steps
-            mlups = cfg.grid.num_nodes / per_step / 1e6
-            result = dict(n=n, per_step=per_step, mlups=mlups)
-            break
-        except Exception as e:  # OOM at this size -> try smaller
-            msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
-                print(f"# size {n}^3 OOM, trying smaller", file=sys.stderr)
-                continue
-            raise
-    if result is None:
-        print(json.dumps({"metric": "MLUPS/chip", "value": 0, "unit": "MLUPS", "vs_baseline": 0}))
-        return 1
-
-    dsize = jnp.dtype(args.dtype).itemsize
-    # direction slots actually moved per node per step: fluid lattice +
-    # 3 scalar fields on the (possibly reduced) scalar lattice
-    if args.mode == "coupled":
-        q_s = cfg.scalar_lat.Q
-        dir_slots = cfg.lattice.Q + 3 * q_s
-        bytes_per_node = dir_slots * 2 * dsize + 48 + 128
-        lat_tag = f", scalars {cfg.scalar_lat.name}"
-    else:
-        bytes_per_node = cfg.lattice.Q * 2 * dsize
-        lat_tag = ""
-    hbm_bw = float(os.environ.get("EKPNP_HBM_BW", 819e9))
-    roofline = hbm_bw / bytes_per_node / 1e6
-    label = (
-        f"MLUPS/chip full coupled EK-PNP-thermal step at {result['n']}^3 "
-        f"({args.dtype}, {backend}{lat_tag})"
-        if args.mode == "coupled"
-        else f"MLUPS/chip fluid-only step at {result['n']}^3 ({args.dtype}, {backend})"
-    )
-    print(
-        json.dumps(
-            {
-                "metric": label,
-                "value": round(result["mlups"], 1),
-                "unit": "MLUPS",
-                "vs_baseline": round(result["mlups"] / roofline, 4),
-            }
-        )
-    )
-    return 0
-
+from ekpnp.benchmark import main
 
 if __name__ == "__main__":
     sys.exit(main())

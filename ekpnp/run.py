@@ -21,8 +21,47 @@ from __future__ import annotations
 import argparse
 import ast
 import os
+import queue
 import sys
+import threading
 import time
+
+
+class _AsyncIO:
+    """Single-worker FIFO I/O pipeline: save-cadence dumps (tecplot zones,
+    scalar snapshots, checkpoints) run on a writer thread, overlapping the
+    device-to-host fetch and ASCII formatting with the next compute chunk.
+    The reference instead blocks the GPU loop on full D2H copies + writes
+    every NSAVE steps (main.cu:206-209).  FIFO order keeps zone order."""
+
+    def __init__(self):
+        self._q = queue.Queue(maxsize=2)
+        self._err = None
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                item()
+            except Exception as e:  # surfaced on the next submit/close
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn):
+        if self._err:
+            raise self._err
+        self._q.put(fn)
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        if self._err:
+            raise self._err
 
 
 def _parse_overrides(pairs):
@@ -156,6 +195,7 @@ def cmd_run(args):
     fcsv = open(os.path.join(outdir, "series.csv"), "w")
     fcsv.write("step,t,umax_uz,umax_mag,current,mean_T\n")
     tecplot.write_zone(fout, cfg, macro, state.phi, E_io, float(state.t), first=True)
+    aio = _AsyncIO()
 
     nsteps = cfg.run.nsteps
     nsave = max(1, cfg.run.nsave)
@@ -232,13 +272,23 @@ def cmd_run(args):
                 return 2
 
         if done % nsave == 0 and done < nsteps:
+            # async dump: snapshot device buffers that survive the next
+            # chunk's donation (macro/E are fresh arrays; phi needs a copy),
+            # then let the writer thread fetch + format + write while the
+            # next chunk computes
             macro, _ = macro_fn(cfg, state)
             E_sv = efield_now(state)
-            tecplot.write_zone(fout, cfg, macro, state.phi, E_sv, float(state.t))
-            if args.save_scalars:
-                from .io.scalars import save_scalars
+            phi_sv = jnp.copy(state.phi) if state.phi is not None else None
+            t_sv, d_sv = float(state.t), done
 
-                save_scalars(outdir, done, cfg, macro, state.phi, E_sv)
+            def _dump(macro=macro, phi=phi_sv, E=E_sv, t=t_sv, d=d_sv):
+                tecplot.write_zone(fout, cfg, macro, phi, E, t)
+                if args.save_scalars:
+                    from .io.scalars import save_scalars
+
+                    save_scalars(outdir, d, cfg, macro, phi, E)
+
+            aio.submit(_dump)
 
     jax.block_until_ready(state.f)
     runtime = time.perf_counter() - t0
@@ -248,6 +298,7 @@ def cmd_run(args):
     nodes_updated = nsteps * cfg.grid.num_nodes
     mlups = nodes_updated / (1e6 * runtime)
 
+    aio.close()  # drain pending dumps before the final zone
     macro, _ = macro_fn(cfg, state)
     E_io = efield_now(state)
     tecplot.write_zone(fout, cfg, macro, state.phi, E_io, float(state.t))
@@ -280,6 +331,13 @@ def cmd_run(args):
 
 
 def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "bench":
+        # delegate everything after "bench" (argparse REMAINDER cannot
+        # capture leading options)
+        from .benchmark import main as bench_main
+
+        return bench_main(argv[1:])
     ap = argparse.ArgumentParser(prog="ekpnp", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -316,6 +374,10 @@ def main(argv=None):
     p_info = sub.add_parser("info", help="print configuration banner")
     common(p_info)
     p_info.set_defaults(fn=cmd_info)
+
+    sub.add_parser(
+        "bench", help="single-chip MLUPS / Poisson benchmark (one JSON "
+        "line); all further flags go to ekpnp.benchmark", add_help=False)
 
     args = ap.parse_args(argv)
     return args.fn(args)
