@@ -241,6 +241,110 @@ def test_perturb_step_hexagon_runs():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_charge_diffusion_decay():
+    """Pure diffusion (SURVEY.md §4.2): a charge-neutral sinusoidal
+    perturbation of both ion species decays as exp(-D k^2 t).  Exact
+    neutrality (c+ = c-) keeps the Poisson RHS zero, so with equal plate
+    voltages phi stays uniform, E = 0, the Nernst-Planck migration term
+    vanishes, the Coulomb force is zero and the fluid stays at rest —
+    isolating the diffusion operator of the scalar TRT update
+    (reference LBM.cu:830-1103 equilibria + 1711-1845 update).
+
+    The amplitude is measured on central z rows only: the reference's
+    Yoshida no-flux scheme replaces ALL wall-node directions with same-node
+    opposites (LBM.cu:2102-2218), which freezes the wall rows' lateral
+    charge profile — reference semantics, pinned by the frozen-wall assert
+    below.  Wall influence reaches sqrt(D t) ~ 2 cells over the fit window,
+    far from the measured rows."""
+    from ekpnp.init import state_from_macro
+    from ekpnp.ops.poisson import efield
+    from ekpnp.state import Macro
+
+    cfg = preset("reference", nx=32, ny=4, nz=25, ext_field=0.0,
+                 enable_thermal=False)
+    g, p = cfg.grid, cfg.physics
+    shape = g.shape
+    k = 2.0 * np.pi / g.lx
+    x = np.arange(g.nx) * g.dx
+    c0, amp = 0.01, 1e-3
+    prof = c0 + amp * np.cos(k * x)
+    c = jnp.asarray(np.broadcast_to(prof, shape))
+    macro = Macro(rho=jnp.full(shape, p.rho0), u=jnp.zeros((3,) + shape),
+                  charge=c, chargen=c, temp=None)
+    phi = jnp.full(shape, p.voltage)
+    state = state_from_macro(cfg, macro, phi, efield(cfg, phi), 0.0)
+
+    def amplitude(s, rows=slice(9, 16)):
+        cz = np.asarray(jnp.sum(s.h, axis=0))[rows].mean(axis=(0, 1))
+        return 2.0 * float((cz * np.cos(k * x)).mean())
+
+    n0, n1 = 100, 400   # skip the initial kinetic transient, then fit
+    s0 = multi_step(cfg, state, n0)
+    a0 = amplitude(s0)
+    s1 = multi_step(cfg, s0, n1 - n0)
+    a1 = amplitude(s1)
+    assert 0.0 < a1 < a0
+    rate = np.log(a0 / a1) / ((n1 - n0) * cfg.dt)
+    np.testing.assert_allclose(rate, p.diffu * k * k, rtol=5e-3)
+
+    # reference wall semantics: wall-node lateral profile is frozen exactly
+    np.testing.assert_allclose(amplitude(s1, rows=slice(0, 1)), amp, rtol=1e-12)
+
+    # neutrality and a quiescent fluid are preserved to roundoff
+    macro1, _ = compute_macro(cfg, s1)
+    np.testing.assert_allclose(
+        np.asarray(macro1.charge), np.asarray(macro1.chargen), rtol=1e-12)
+    assert float(jnp.abs(macro1.u).max()) < 1e-12
+
+
+def test_electroosmotic_flow_profile():
+    """Electro-osmosis (SURVEY.md §4.2): the external field Ext acting on
+    the PB-initialized double layer drives plug-like flow.  Two checks:
+
+    1. The steady velocity profile satisfies the discrete momentum balance
+       mu u'' = -rho_e Ext with bounce-back mid-way walls, using the
+       simulation's own charge density (exact force-balance test).
+    2. The mid-channel speed matches the Helmholtz-Smoluchowski velocity
+       u_EO = -eps zeta Ext / mu with the finite-Debye-length correction
+       (1 - sech(kappa L/2)) from the linearized double-layer profile."""
+    zeta = -1e-4  # linear (Debye-Hueckel) regime
+    cfg = preset("reference", nx=4, ny=4, nz=33, voltage=zeta, voltage2=zeta,
+                 pb_iters=2001, enable_thermal=False)
+    g, p = cfg.grid, cfg.physics
+    state, _ = initialize(cfg)
+    # viscous time L^2/(pi^2 nu) ~ 120 steps; 1500 steps >> converged
+    state = multi_step(cfg, state, 1500)
+    macro, _ = compute_macro(cfg, state)
+
+    ux = np.asarray(macro.u[0]).mean(axis=(1, 2))
+    rho_e = p.convert_c_to_charge * np.asarray(
+        macro.charge - macro.chargen).mean(axis=(1, 2))
+    mu = p.rho0 * p.nu
+
+    # 1. discrete two-point BVP: u[k-1] - 2u[k] + u[k+1] = -rho_e Ext dz^2/mu,
+    #    no-slip planes midway outside the first interior nodes (u0 = -u1)
+    n = g.nz - 2
+    A = (np.diag(-2.0 * np.ones(n)) + np.diag(np.ones(n - 1), 1)
+         + np.diag(np.ones(n - 1), -1))
+    A[0, 0] = -3.0
+    A[-1, -1] = -3.0
+    rhs = -(rho_e[1:-1] * p.ext_field) * g.dz**2 / mu
+    u_fd = np.linalg.solve(A, rhs)
+    scale = np.abs(u_fd).max()
+    assert scale > 0.0
+    np.testing.assert_allclose(ux[1:-1], u_fd, atol=3e-2 * scale)
+
+    # 2. Helmholtz-Smoluchowski magnitude with finite-kappa correction
+    kappa = np.sqrt(2.0 * p.convert_c_to_charge * p.chargeinf * p.electron
+                    / (p.kB * p.roomT * p.eps))
+    u_hs = -p.eps * zeta * p.ext_field / mu
+    expect_mid = u_hs * (1.0 - 1.0 / np.cosh(kappa * g.lz / 2.0))
+    # sanity bar only: the continuum estimate ignores the half-cell wall
+    # offset and grid-resolved Debye layer (kappa dz ~ 0.11) — check 1 above
+    # is the sharp force-balance test; observed gap ~7% on this grid
+    np.testing.assert_allclose(ux[g.nz // 2], expect_mid, rtol=1.2e-1)
+
+
 def test_joule_heating_raises_temperature():
     """The Joule extension (BASELINE config 4): joule > 0 must inject heat
     proportional to (c+ + c-) |E|^2; joule = 0 is reference parity."""
