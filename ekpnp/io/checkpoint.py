@@ -82,6 +82,78 @@ def load_npz(path: str, cfg: Config) -> State:
         )
 
 
+def save_full_npz(path: str, cfg: Config, state: State) -> None:
+    """Exact (lossless) checkpoint: every population array + phi + t.
+
+    Extension beyond the reference (SURVEY.md §2.4 D5): the reference only
+    checkpoints macroscopic fields and re-equilibrates on restore
+    (LBM.cu:2567-2671, main.cu:158-175), discarding the non-equilibrium
+    parts.  This format preserves the full state so a resumed run continues
+    bit-identically.  Arrays keep their native dtype.
+    """
+    g = cfg.grid
+    payload = {
+        "t": np.asarray(state.t),
+        "f_pop": np.asarray(state.f),
+        "grid": np.array([g.nx, g.ny, g.nz]),
+        "lattice_q": np.array([cfg.lattice.Q, cfg.scalar_lat.Q]),
+    }
+    for name in ("h", "hn", "g", "phi"):
+        a = getattr(state, name)
+        if a is not None:
+            payload[name + "_pop" if name != "phi" else "phi"] = np.asarray(a)
+    np.savez_compressed(path, **payload)
+
+
+def is_full_checkpoint(path: str) -> bool:
+    """True if `path` is a lossless full-state checkpoint (save_full_npz)."""
+    if not path.endswith(".npz"):
+        return False
+    try:
+        with np.load(path) as d:
+            return "f_pop" in d.files
+    except Exception:
+        return False
+
+
+def load_full_npz(path: str, cfg: Config) -> State:
+    """Restore a lossless checkpoint bit-exactly (no re-equilibration)."""
+    import jax.numpy as jnp
+
+    with np.load(path) as d:
+        g = cfg.grid
+        if tuple(d["grid"]) != (g.nx, g.ny, g.nz):
+            raise ValueError(
+                f"checkpoint grid {tuple(d['grid'])} != config grid {(g.nx, g.ny, g.nz)}"
+            )
+        if tuple(d["lattice_q"]) != (cfg.lattice.Q, cfg.scalar_lat.Q):
+            raise ValueError(
+                f"checkpoint lattices Q={tuple(d['lattice_q'])} != config "
+                f"Q={(cfg.lattice.Q, cfg.scalar_lat.Q)}"
+            )
+        dtype = jnp.dtype(cfg.run.dtype)
+
+        def arr(k):
+            if k not in d.files:
+                return None
+            a = d[k]
+            if a.dtype != dtype:
+                raise ValueError(
+                    f"checkpoint field {k} is {a.dtype}, config wants {dtype}; "
+                    "a lossless restore requires matching precision"
+                )
+            return jnp.asarray(a)
+
+        return State(
+            f=arr("f_pop"),
+            h=arr("h_pop"),
+            hn=arr("hn_pop"),
+            g=arr("g_pop"),
+            phi=arr("phi"),
+            t=jnp.asarray(d["t"], dtype),
+        )
+
+
 def save_reference_ascii(path: str, cfg: Config, macro: Macro, phi, E, t: float) -> None:
     """data_end.dat in the reference's exact 12-column ASCII layout
     (LBM.cu:2613-2624), including the wall extrapolation it applies first

@@ -156,10 +156,14 @@ def cmd_run(args):
     os.makedirs(outdir, exist_ok=True)
 
     if args.resume:
-        print(f"Restoring from {args.resume} (populations re-equilibrated)...")
-        if args.resume.endswith(".dat"):
+        if ckpt.is_full_checkpoint(args.resume):
+            print(f"Restoring from {args.resume} (lossless full-state resume)...")
+            state = ckpt.load_full_npz(args.resume, cfg)
+        elif args.resume.endswith(".dat"):
+            print(f"Restoring from {args.resume} (populations re-equilibrated)...")
             state = ckpt.load_reference_ascii(args.resume, cfg)
         else:
+            print(f"Restoring from {args.resume} (populations re-equilibrated)...")
             state = ckpt.load_npz(args.resume, cfg)
     else:
         print("Initializing (PB double-layer relaxation)...")
@@ -312,6 +316,8 @@ def cmd_run(args):
     ckpt.save_reference_ascii(
         os.path.join(outdir, "data_end.dat"), cfg, macro, state.phi, E_io, float(state.t)
     )
+    if args.checkpoint_full:
+        ckpt.save_full_npz(os.path.join(outdir, "state_end.npz"), cfg, state)
 
     print(" ----- performance information -----")
     print(f"           timesteps: {nsteps}")
@@ -365,6 +371,11 @@ def main(argv=None):
     p_run.add_argument(
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the timed loop into DIR")
+    p_run.add_argument(
+        "--checkpoint-full", action="store_true",
+        help="also write state_end.npz — a lossless full-population "
+             "checkpoint; --resume from it continues bit-identically "
+             "(the reference's restart is lossy, LBM.cu:2567-2671)")
     p_run.add_argument(
         "--save-scalars", action="store_true",
         help="per-scalar binary dumps nameNNNN.bin at every save step "

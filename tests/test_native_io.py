@@ -71,3 +71,61 @@ def test_checkpoint_ascii_uses_native(tmp_path):
     np.testing.assert_allclose(rho[1:-1], rho_ref[1:-1], atol=2e-6)
     np.testing.assert_allclose(charge[1:-1], ch_ref[1:-1], atol=2e-6)
     np.testing.assert_allclose(np.asarray(st.phi), np.asarray(phi), atol=2e-6)
+
+
+def test_full_checkpoint_bit_exact_resume(tmp_path):
+    """Lossless extension beyond the reference (SURVEY.md §2.4 D5): a
+    save_full_npz/load_full_npz round trip must continue the run
+    bit-identically — run(6) == run(3) -> save -> load -> run(3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ekpnp import preset
+    from ekpnp.init import initialize
+    from ekpnp.io import checkpoint as ckpt
+    from ekpnp.step import step
+
+    cfg = preset("reference", nx=8, ny=8, nz=9)
+    state, _ = initialize(cfg)
+
+    ref = state
+    for _ in range(6):
+        ref, _ = step(cfg, ref)
+
+    mid = state
+    for _ in range(3):
+        mid, _ = step(cfg, mid)
+    path = str(tmp_path / "state_end.npz")
+    ckpt.save_full_npz(path, cfg, mid)
+    assert ckpt.is_full_checkpoint(path)
+    assert not ckpt.is_full_checkpoint(path.replace(".npz", ".dat"))
+    resumed = ckpt.load_full_npz(path, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(mid), jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for _ in range(3):
+        resumed, _ = step(cfg, resumed)
+
+    for name in ("f", "h", "hn", "g", "phi"):
+        a, b = getattr(ref, name), getattr(resumed, name)
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"field {name} diverged"
+        )
+    assert float(ref.t) == float(resumed.t)
+
+
+def test_full_checkpoint_rejects_mismatched_config(tmp_path):
+    from ekpnp import preset
+    from ekpnp.init import initialize
+    from ekpnp.io import checkpoint as ckpt
+
+    cfg = preset("reference", nx=8, ny=8, nz=9)
+    state, _ = initialize(cfg)
+    path = str(tmp_path / "s.npz")
+    ckpt.save_full_npz(path, cfg, state)
+
+    with pytest.raises(ValueError, match="grid"):
+        ckpt.load_full_npz(path, preset("reference", nx=16, ny=8, nz=9))
+    with pytest.raises(ValueError, match="lattice"):
+        ckpt.load_full_npz(
+            path, preset("reference", nx=8, ny=8, nz=9, scalar_lattice="D3Q7")
+        )
