@@ -287,6 +287,42 @@ def preset(name: str, **overrides) -> Config:
     return _apply_overrides(cfg, overrides)
 
 
+def from_file(path: str, **extra_overrides) -> Config:
+    """Build a Config from a YAML or JSON file (SURVEY.md §1 L5 mapping:
+    `ekpnp run config.yaml`).
+
+    File layout: an optional top-level `preset:` key (default "reference")
+    selects the base; every other key is a config-field override — either
+    flat, or grouped under `grid:` / `physics:` / `run:` sections.
+    Keyword overrides (the CLI's --steps/--set/...) win over file values.
+    """
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".json"):
+        data = json.loads(text)
+    else:
+        import yaml
+
+        data = yaml.safe_load(text)
+    if not isinstance(data, dict):
+        raise ValueError(f"config file {path!r} must contain a mapping")
+    data = dict(data)
+    name = data.pop("preset", "reference")
+    flat = {}
+    for k, v in data.items():
+        if k in ("grid", "physics", "run") and isinstance(v, dict):
+            dup = set(v) & set(flat)
+            if dup:
+                raise ValueError(f"duplicate config keys in {path!r}: {sorted(dup)}")
+            flat.update(v)
+        else:
+            flat[k] = v
+    flat.update(extra_overrides)
+    return preset(name, **flat)
+
+
 def _apply_overrides(cfg: Config, overrides: dict) -> Config:
     if not overrides:
         return cfg

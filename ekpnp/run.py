@@ -78,7 +78,7 @@ def _parse_overrides(pairs):
 
 
 def build_config(args):
-    from .config import preset
+    from .config import from_file, preset
 
     overrides = _parse_overrides(args.set)
     if args.steps is not None:
@@ -87,6 +87,8 @@ def build_config(args):
         overrides["dtype"] = {"f32": "float32", "f64": "float64"}[args.precision]
     if args.outdir:
         overrides["outdir"] = args.outdir
+    if args.preset.endswith((".yaml", ".yml", ".json")) or os.path.isfile(args.preset):
+        return from_file(args.preset, **overrides)
     return preset(args.preset, **overrides)
 
 
@@ -291,6 +293,13 @@ def cmd_run(args):
                     from .io.scalars import save_scalars
 
                     save_scalars(outdir, d, cfg, macro, phi, E)
+                if args.vtk:
+                    from .io.vtk import write_vtk
+
+                    write_vtk(
+                        os.path.join(outdir, f"fields{d:06d}.vtk"),
+                        cfg, macro, phi, E, t,
+                    )
 
             aio.submit(_dump)
 
@@ -306,6 +315,13 @@ def cmd_run(args):
     macro, _ = macro_fn(cfg, state)
     E_io = efield_now(state)
     tecplot.write_zone(fout, cfg, macro, state.phi, E_io, float(state.t))
+    if args.vtk:
+        from .io.vtk import write_vtk
+
+        write_vtk(
+            os.path.join(outdir, f"fields{nsteps:06d}.vtk"),
+            cfg, macro, state.phi, E_io, float(state.t),
+        )
     fout.close()
     fumax.close()
     fcsv.close()
@@ -348,7 +364,11 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def common(p):
-        p.add_argument("preset", help="reference|poiseuille|ek-channel|ek-pnp|ek-pnp-thermal|pod")
+        p.add_argument(
+            "preset",
+            help="reference|poiseuille|ek-channel|ek-pnp|ek-pnp-thermal|pod, "
+                 "or a YAML/JSON config file (optional `preset:` key + "
+                 "field overrides, flat or grouped under grid/physics/run)")
         p.add_argument("--steps", type=int, default=None)
         p.add_argument("--set", nargs="*", metavar="key=value")
         p.add_argument("--precision", choices=["f32", "f64"], default=None)
@@ -371,6 +391,11 @@ def main(argv=None):
     p_run.add_argument(
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the timed loop into DIR")
+    p_run.add_argument(
+        "--vtk", action="store_true",
+        help="also write binary VTK (STRUCTURED_POINTS) snapshots "
+             "fieldsNNNNNN.vtk at every save step (same fields and wall "
+             "extrapolation as the tecplot zones)")
     p_run.add_argument(
         "--checkpoint-full", action="store_true",
         help="also write state_end.npz — a lossless full-population "

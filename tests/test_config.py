@@ -1,0 +1,50 @@
+"""Config system: presets, overrides, YAML/JSON config files."""
+import pytest
+
+from ekpnp import preset
+from ekpnp.config import from_file
+
+
+def test_preset_overrides_reject_unknown_key():
+    with pytest.raises(ValueError, match="unknown config field"):
+        preset("reference", not_a_field=1)
+
+
+def test_yaml_config_file(tmp_path):
+    p = tmp_path / "run.yaml"
+    p.write_text(
+        "preset: poiseuille\n"
+        "grid:\n  nx: 16\n  ny: 8\n"
+        "run:\n  nsteps: 7\n"
+        "exf: 2.5e-4\n"   # flat key lands in the right section
+    )
+    cfg = from_file(str(p))
+    assert (cfg.grid.nx, cfg.grid.ny) == (16, 8)
+    assert cfg.run.nsteps == 7
+    assert cfg.physics.exf == pytest.approx(2.5e-4)
+    assert cfg.run.lattice == "D3Q19"  # poiseuille preset base preserved
+
+
+def test_json_config_file_and_kw_priority(tmp_path):
+    p = tmp_path / "run.json"
+    p.write_text('{"preset": "reference", "nx": 12, "nsteps": 9}')
+    cfg = from_file(str(p), nsteps=3)
+    assert cfg.grid.nx == 12
+    assert cfg.run.nsteps == 3  # CLI-style kwarg wins over the file
+
+
+def test_config_file_rejects_non_mapping(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("- 1\n- 2\n")
+    with pytest.raises(ValueError, match="mapping"):
+        from_file(str(p))
+
+
+def test_cli_accepts_config_file(tmp_path, capsys):
+    p = tmp_path / "run.yaml"
+    p.write_text("preset: reference\nnx: 10\n")
+    from ekpnp.run import main
+
+    assert main(["info", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "10" in out

@@ -129,3 +129,34 @@ def test_full_checkpoint_rejects_mismatched_config(tmp_path):
         ckpt.load_full_npz(
             path, preset("reference", nx=8, ny=8, nz=9, scalar_lattice="D3Q7")
         )
+
+
+def test_vtk_roundtrip(tmp_path):
+    """VTK snapshot carries exactly the tecplot columns (same wall
+    extrapolation), x-fastest point order, big-endian doubles."""
+    from ekpnp import preset
+    from ekpnp.init import initialize
+    from ekpnp.io.tecplot import _gather_columns
+    from ekpnp.io.vtk import read_vtk, write_vtk
+    from ekpnp.ops.collide import compute_macro
+    from ekpnp.ops.poisson import efield
+
+    cfg = preset("reference", nx=8, ny=4, nz=9)
+    state, macro = initialize(cfg)
+    E = efield(cfg, state.phi)
+    path = str(tmp_path / "f.vtk")
+    write_vtk(path, cfg, macro, state.phi, E, 1.25e-8)
+    got = read_vtk(path)
+    cols = _gather_columns(cfg, macro, state.phi, E)
+
+    np.testing.assert_array_equal(got["velocity"], np.stack(cols[3:6], axis=1))
+    np.testing.assert_array_equal(got["p"], cols[6])
+    np.testing.assert_array_equal(got["charge"], cols[7])
+    np.testing.assert_array_equal(got["neg_charge"], cols[8])
+    np.testing.assert_array_equal(got["phi"], cols[9])
+    np.testing.assert_array_equal(got["E"], np.stack(cols[10:13], axis=1))
+    np.testing.assert_array_equal(got["Temperature"], cols[13])
+
+    header = open(path, "rb").read(400).split(b"\n")
+    assert b"DIMENSIONS 8 4 9" in header
+    assert any(line.startswith(b"SPACING") for line in header)
