@@ -53,7 +53,15 @@ from ..config import Config
 HALO = 8  # aligned halo block height; row 7 is y0-1, row TY+8 is y0+TY
 
 
-def _pick_ty(cfg, qs, vmem_budget=64 * 1024 * 1024):
+def _padded_nx(nx: int, pad_to: int) -> int:
+    """x extent the kernel arrays actually carry: nx rounded up to the next
+    pad_to multiple (the lane-tile width; no-op when already a multiple)."""
+    if not pad_to:
+        return nx
+    return ((nx + pad_to - 1) // pad_to) * pad_to
+
+
+def _pick_ty(cfg, qs, nxp=None, vmem_budget=64 * 1024 * 1024):
     """Largest strip height TY (multiple of 8) dividing NY that fits VMEM.
 
     Wider strips amortize the 16 halo rows each window DMA re-reads:
@@ -64,19 +72,21 @@ def _pick_ty(cfg, qs, vmem_budget=64 * 1024 * 1024):
     4-field collide at TY=128 spills ~62 MB of vector registers, so the
     coupled kernel lands on TY=64 — measured faster than any spilling
     TY=128 variant.  `qs` is the per-field direction count (the scalar
-    fields may run a smaller lattice than the fluid)."""
+    fields may run a smaller lattice than the fluid); `nxp` the padded
+    x width the kernel arrays carry (defaults to grid nx)."""
     g = cfg.grid
+    nx = nxp or g.nx
     for ty in (128, 64, 32, 16, 8):
         if g.ny % ty:
             continue
         need = 0
         for q in qs:
-            win = q * (ty + 16) * g.nx * 4    # one input window slot
-            plane = q * (ty + 2) * g.nx * 4   # one post-collision slot
-            emit = q * ty * g.nx * 4          # one emit buffer
+            win = q * (ty + 16) * nx * 4      # one input window slot
+            plane = q * (ty + 2) * nx * 4     # one post-collision slot
+            emit = q * ty * nx * 4            # one emit buffer
             need += 2 * win + 3 * plane + 2 * emit
-        plane_f = qs[0] * (ty + 2) * g.nx * 4
-        emit_f = qs[0] * ty * g.nx * 4
+        plane_f = qs[0] * (ty + 2) * nx * 4
+        emit_f = qs[0] * ty * nx * 4
         need += 2 * plane_f + emit_f          # f_pin, wall buf, phi/rhs slack
         if need < vmem_budget:
             return ty
@@ -85,14 +95,14 @@ def _pick_ty(cfg, qs, vmem_budget=64 * 1024 * 1024):
 
 def fused_supported(cfg: Config) -> bool:
     """True when this configuration can run the fused kernel (shape and
-    lattice constraints below; compiled-mode TPU also needs float32)."""
+    lattice constraints below; compiled-mode TPU also needs float32).
+
+    NX is unrestricted: widths that are not whole 128-lane tiles (the
+    reference's own 50x8x51 grid, LBM.h:32-36, and BASELINE configs 1-3)
+    are zero-cost-padded to the next tile and the periodic x-wrap handled
+    by a masked two-roll select (see build_fused_step)."""
     g = cfg.grid
     if g.nz < 4 or g.ny % 8:
-        return False
-    # NX must span whole 128-lane tiles: the window DMAs and lane rolls
-    # crash the Mosaic compiler on partial lane tiles (measured: every
-    # NX < 128 fails remote compile, NX = 128/256 succeed)
-    if g.nx % 128:
         return False
     for l in {cfg.lattice, cfg.scalar_lat}:
         if not all(int(l.OPP[i]) == i + 1 for i in range(1, l.Q, 2)):
@@ -100,11 +110,12 @@ def fused_supported(cfg: Config) -> bool:
     nspec = (2 if cfg.physics.two_species else 1) if cfg.physics.enable_ek else 0
     nf = 1 + nspec + (1 if cfg.physics.enable_thermal else 0)
     qs = [cfg.lattice.Q] + [cfg.scalar_lat.Q] * (nf - 1)
-    return _pick_ty(cfg, qs) is not None
+    return _pick_ty(cfg, qs, _padded_nx(g.nx, 128)) is not None
 
 
 def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
-                     ty_override: int = 0, halo: bool = False):
+                     ty_override: int = 0, halo: bool = False,
+                     pad_x: Optional[int] = None):
     """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).
 
     E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
@@ -116,7 +127,20 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     pieces read from explicit halo-block inputs — the 8-row-aligned blocks
     adjacent to the shard, exchanged over ICI with ppermute — instead of
     wrapping locally.  fn then takes (f, h, hn, g, phi, lo..., hi...,
-    phi_lo, phi_hi) where lo/hi are per-field (27, NZ, 8, NX) blocks."""
+    phi_lo, phi_hi) where lo/hi are per-field (27, NZ, 8, NX) blocks.
+
+    pad_x: lane-tile padding of the x axis.  Mosaic requires whole
+    128-lane tiles for the window DMAs and lane rolls (every NX < 128
+    failed remote compile round 1), so grids like the reference's own
+    50x8x51 (LBM.h:32-36) are padded: fn still takes and returns arrays
+    at the logical NX — `apply` pads inputs (periodic continuation) and
+    slices outputs — while the kernel carries NXP = next multiple of
+    pad_x lanes and implements the periodic x-wrap as a masked two-roll
+    select on the one lane each roll direction pulls from the pad region
+    (roll_x below).  None = pad to 128 when compiling and NX % 128 != 0,
+    nothing in interpret mode; an explicit int pads to that multiple
+    (testing knob: interpret-mode equality tests exercise the masked-wrap
+    path with small pads)."""
     lat = cfg.lattice
     lat_s = cfg.scalar_lat    # scalar-transport lattice (ions, temperature)
     Q = lat.Q
@@ -127,7 +151,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                              "lattice.py)")
     g = cfg.grid
     p = cfg.physics
-    NZ, NY, NX = g.shape
+    NZ, NY, NXL = g.shape        # NXL: logical x extent
+    if pad_x is None:
+        pad_x = 0 if interpret else 128
+    NX = _padded_nx(NXL, pad_x)  # NX: padded width the kernel arrays carry
     if NZ < 4:
         raise ValueError("fused kernel needs NZ >= 4")
     if NY % 8:
@@ -147,7 +174,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     QS = [l.Q for l in field_lats]
     QMAX = max(QS)
 
-    TY = ty_override or _pick_ty(cfg, QS)
+    TY = ty_override or _pick_ty(cfg, QS, NX)
     if TY is None or NY % TY or TY % 8:
         raise ValueError("no valid y-strip size (needs TY % 8 == 0 dividing NY)")
     R = TY + 2           # logical rows [y0-1, y0+TY]
@@ -175,6 +202,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     kappa = p.convert_c_to_charge
     buoy = p.rho0 * p.Ra * p.nu * p.D
     mw_coef = 2.0 * p.rho0 * p.uw * inv_cs2 * inv_cfl
+    compat_multis = p.compat_ref_multis  # reference LBM.cu:1904 quirk
     dtype = jnp.dtype(dtype)
     cst = dtype.type
 
@@ -356,8 +384,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 s0 = jax.lax.rem(jnp.int32(plane_s), four)
                 sp = jax.lax.rem(jnp.int32(pp), four)
             phic = buf_phi[s0, HALO - 1 : HALO - 1 + R, :]
-            Ex = (pltpu.roll(phic, 1, axis=1)
-                  - pltpu.roll(phic, NX - 1, axis=1)) * cst(0.5 / g.dx)
+            # roll_x handles the padded-lane periodic wrap (pad_x)
+            Ex = (roll_x(phic, 1) - roll_x(phic, -1)) * cst(0.5 / g.dx)
             Ey = (buf_phi[s0, HALO - 2 : HALO - 2 + R, :]
                   - buf_phi[s0, HALO : HALO + R, :]) * cst(0.5 / g.dy)
             Ez = (buf_phi[sm, HALO - 1 : HALO - 1 + R, :]
@@ -481,8 +509,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             slot_pop[k][slot, 0] = ld_pop(k, in_slot, 0)
             for d in range(1, Q):
                 v = ld_pop(k, in_slot, OPP[d])
-                if with_wall_term and E_[d][0] != 0 and mw_coef != 0.0:
-                    v = v + cst(mw_coef * W_[d] * E_[d][0])
+                mw_ex = E_[d][0] + (1 if compat_multis and d == 3 else 0)
+                if with_wall_term and mw_ex != 0 and mw_coef != 0.0:
+                    v = v + cst(mw_coef * W_[d] * mw_ex)
                 slot_pop[k][slot, d] = v
 
         def collide_plane(plane_s, slot, u_override=None, numer_out=None,
@@ -592,9 +621,28 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
         # ------------------------------------------------ emit
         def roll_x(val, ex):
+            """Periodic x-shift: out[x] = val[(x - ex) mod NXL] on the
+            logical lanes [0, NXL).  On a padded array (NXL < NX) the plain
+            lane roll pulls exactly one logical lane from the pad region
+            (x = 0 for ex = +1, x = NXL-1 for ex = -1); a second roll lands
+            the true periodic source on that lane and a one-lane select
+            patches it.  Valid lanes never read pad lanes, so pad garbage
+            stays confined to the pad and is sliced off in `apply`."""
             if ex == 0:
                 return val
-            return pltpu.roll(val, ex % NX, axis=1)
+            rolled = pltpu.roll(val, ex % NX, axis=1)
+            if NXL == NX:
+                return rolled
+            if ex == 1:
+                fix = pltpu.roll(val, (NX - NXL + 1) % NX, axis=1)
+                lane = 0
+            elif ex == -1:
+                fix = pltpu.roll(val, (NXL - 1) % NX, axis=1)
+                lane = NXL - 1
+            else:
+                raise ValueError("lattice velocities are unit in x")
+            iota = jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
+            return jnp.where(iota == lane, fix, rolled)
 
         def streamed_dir(k, d, e):
             ex, ey, ez = ES[k][d]
@@ -806,6 +854,17 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         interpret=interpret,
     )
 
+    def _pad(a):
+        """Periodic-continuation pad of the lane axis to NX (finite values
+        everywhere; the kernel never reads pad lanes into logical lanes)."""
+        if a is None or NX == NXL:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, NX - NXL)],
+                       mode="wrap")
+
+    def _trim(a):
+        return a if (a is None or NX == NXL) else a[..., :NXL]
+
     def apply(f, h=None, hn=None, g_=None, phi=None,
               lo=None, hi=None, phi_lo=None, phi_hi=None):
         args = [f]
@@ -819,7 +878,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             args += list(lo) + list(hi)
             if ek:
                 args += [phi_lo, phi_hi]
-        outs = list(fused(*args))
+        outs = [_trim(o) for o in fused(*[_pad(a) for a in args])]
         f1 = outs.pop(0)
         h1 = outs.pop(0) if ek else None
         hn1 = outs.pop(0) if ek and nspec == 2 else None

@@ -18,20 +18,22 @@ from .fused_step import build_fused_step
 
 
 @lru_cache(maxsize=None)
-def _get_fused(cfg: Config, dtype_name: str, interpret: bool, ty: int):
+def _get_fused(cfg: Config, dtype_name: str, interpret: bool, ty: int,
+               pad_x):
     return build_fused_step(
-        cfg, dtype=jnp.dtype(dtype_name), interpret=interpret, ty_override=ty
+        cfg, dtype=jnp.dtype(dtype_name), interpret=interpret, ty_override=ty,
+        pad_x=pad_x,
     )
 
 
 def step_pallas(cfg: Config, state: State, mesh=None, interpret: bool = False,
-                ty_override: int = 0):
+                ty_override: int = 0, pad_x=None):
     """One fused timestep.  Returns (state', rhs) — the kernel-emitted
     interior Poisson-RHS planes (z = 1..NZ-2) from this step's
     pre-collision ion moments (what the reference stores in collide and
     feeds to fast_Poisson)."""
     p = cfg.physics
-    fused = _get_fused(cfg, state.f.dtype.name, interpret, ty_override)
+    fused = _get_fused(cfg, state.f.dtype.name, interpret, ty_override, pad_x)
     f1, h1, hn1, g1, rhs = fused(state.f, state.h, state.hn, state.g, state.phi)
     phi = state.phi
     if p.enable_ek:

@@ -14,13 +14,14 @@ from ekpnp.pallas.step import step_pallas
 from ekpnp.step import step
 
 
-def _compare(cfg, steps=2, ty=0, atol_E=1e-8):
+def _compare(cfg, steps=2, ty=0, atol_E=1e-8, pad_x=None):
     state, _ = initialize(cfg)
     s_ref = state
     s_pal = state
     for _ in range(steps):
         s_ref, _ = step(cfg, s_ref)
-        s_pal, _ = step_pallas(cfg, s_pal, interpret=True, ty_override=ty)
+        s_pal, _ = step_pallas(cfg, s_pal, interpret=True, ty_override=ty,
+                               pad_x=pad_x)
     for name in ("f", "h", "hn", "g", "phi"):
         a, b = getattr(s_ref, name), getattr(s_pal, name)
         if a is None:
@@ -133,3 +134,48 @@ def test_fused_joule_single_species():
     cfg = preset("ek-channel", nx=16, ny=8, nz=9, fft_method="matmul",
                  joule=1.0e4)
     _compare(cfg, steps=2)
+
+
+# ---------------------------------------------------------------------------
+# Padded-NX path (round-2 verdict item 1): widths that are not whole lane
+# tiles run the kernel on a padded array with the periodic x-wrap done by
+# the masked two-roll select (fused_step.roll_x).  pad_x here pads to small
+# multiples so interpret mode exercises exactly the compiled masked-wrap
+# code path; on TPU the same path pads to 128.
+# ---------------------------------------------------------------------------
+
+def test_fused_padded_reference_width():
+    # the reference's own NX = 50 (LBM.h:32), padded 50 -> 64
+    cfg = preset("reference", nx=50, ny=8, nz=9, fft_method="matmul")
+    _compare(cfg, pad_x=64)
+
+
+def test_fused_padded_fluid_only():
+    # x-periodic streaming alone (no EK/thermal), pad 12 -> 16, 3 steps so
+    # a wrapped population crosses the seam more than once
+    cfg = preset("reference", nx=12, ny=8, nz=9, enable_ek=False,
+                 enable_thermal=False, exf=1.0e6)
+    _compare(cfg, steps=3, pad_x=16)
+
+
+def test_fused_padded_multi_strip_d3q7():
+    cfg = preset("reference", nx=20, ny=32, nz=9, fft_method="matmul",
+                 scalar_lattice="D3Q7")
+    _compare(cfg, ty=8, pad_x=32)
+
+
+def test_fused_padded_moving_wall():
+    cfg = preset("reference", nx=10, ny=8, nz=9, enable_ek=False,
+                 enable_thermal=False, uw=0.5)
+    _compare(cfg, steps=3, pad_x=16)
+
+
+def test_fused_supported_covers_reference_and_baseline_grids():
+    from ekpnp.pallas.fused_step import fused_supported
+
+    # the canonical reference grid (LBM.h:32-36) and BASELINE configs 1-4
+    assert fused_supported(preset("reference"))
+    assert fused_supported(preset("poiseuille"))
+    assert fused_supported(preset("ek-channel"))
+    assert fused_supported(preset("ek-pnp"))
+    assert fused_supported(preset("ek-pnp-thermal"))
