@@ -114,6 +114,16 @@ class PhysicsConfig:
     VCn: float = 1.0e-6
     VT: float = 1.0 / 12.0
 
+    # -- reference bit-parity quirk (see also RunConfig.compat_cadence;
+    #    `--set compat=reference` enables both)
+    compat_ref_multis: bool = False   # reproduce the reference's moving-wall
+                                      # quirk: direction 3 (+y) receives the
+                                      # +multis momentum term at the upper
+                                      # plate despite e_3x = 0 (LBM.cu:1904).
+                                      # Default off = the physically-standard
+                                      # e_ix-proportional term; identical
+                                      # results at the default uw = 0.
+
     # -- coupling switches (which populations are active)
     enable_ek: bool = True        # ion populations h / hn + Poisson
     enable_thermal: bool = True   # temperature population + buoyancy
@@ -199,6 +209,16 @@ class RunConfig:
                                       # algebra corrected — see
                                       # ops/collide.perturbation_velocity)
     LL: float = 0.5               # perturbation wavelength ratio (LBM.h:39)
+    compat_cadence: bool = False  # reproduce the reference's save/diagnostic
+                                  # cadence exactly: events fire after loop
+                                  # iteration i when i % N == 1, i.e. after
+                                  # 2, N+2, 2N+2, ... completed steps
+                                  # (main.cu:206,211) instead of at exact
+                                  # multiples of N.  `--set compat=reference`
+                                  # enables this together with
+                                  # PhysicsConfig.compat_ref_multis for
+                                  # step-aligned, term-identical comparison
+                                  # against the CUDA binary.
     outdir: str = "out"
 
 
@@ -326,6 +346,14 @@ def from_file(path: str, **extra_overrides) -> Config:
 def _apply_overrides(cfg: Config, overrides: dict) -> Config:
     if not overrides:
         return cfg
+    overrides = dict(overrides)
+    compat = overrides.pop("compat", None)
+    if compat is not None:
+        if compat not in ("reference", "none"):
+            raise ValueError(f"unknown compat mode {compat!r} (reference|none)")
+        on = compat == "reference"
+        overrides.setdefault("compat_ref_multis", on)
+        overrides.setdefault("compat_cadence", on)
     grid_f = {f.name for f in dataclasses.fields(GridConfig)}
     phys_f = {f.name for f in dataclasses.fields(PhysicsConfig)}
     run_f = {f.name for f in dataclasses.fields(RunConfig)}

@@ -56,13 +56,21 @@ def cold_fields(cfg: Config, dtype) -> InitFields:
     return InitFields(rho, u, charge, chargen, phi, E, temp)
 
 
-def initialize(cfg: Config, dtype=None, mesh=None) -> tuple[State, Macro]:
+def initialize(cfg: Config, dtype=None, mesh=None, with_residual: bool = False):
     """Full cold start: cold fields, PB double-layer loop (if EK), then
-    equilibrium populations.  Pure; jit-compatible."""
+    equilibrium populations.  Pure; jit-compatible.
+
+    Returns (State, Macro), or (State, Macro, pb_residual) with
+    with_residual=True — the PB loop's final relative update norm
+    (see ops.pbe.pb_init), None when EK is off."""
     dtype = jnp.dtype(dtype or cfg.run.dtype)
     fields = cold_fields(cfg, dtype)
+    residual = None
     if cfg.physics.enable_ek:
-        phi, charge, chargen, E = pb_init(cfg, fields.phi, mesh)
+        out = pb_init(cfg, fields.phi, mesh, with_residual=with_residual)
+        phi, charge, chargen, E = out[:4]
+        if with_residual:
+            residual = out[4]
         fields = fields._replace(phi=phi, charge=charge, chargen=chargen, E=E)
     macro = Macro(
         rho=fields.rho,
@@ -71,7 +79,10 @@ def initialize(cfg: Config, dtype=None, mesh=None) -> tuple[State, Macro]:
         chargen=fields.chargen,
         temp=fields.temp,
     )
-    return state_from_macro(cfg, macro, fields.phi, fields.E, t=0.0), macro
+    state = state_from_macro(cfg, macro, fields.phi, fields.E, t=0.0)
+    if with_residual:
+        return state, macro, residual
+    return state, macro
 
 
 def state_from_macro(cfg: Config, macro: Macro, phi, E, t) -> State:

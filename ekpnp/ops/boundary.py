@@ -35,7 +35,9 @@ def bounce_back_walls(cfg: Config, f_post, f_pre):
     NOTE a deliberate deviation: the reference adds its `multis` term to
     direction 3 (+y) at the upper plate (LBM.cu:1904) even though e_3x = 0;
     we use the physically-standard e_ix-proportional term.  Identical for the
-    default uw = 0.
+    default uw = 0.  Set PhysicsConfig.compat_ref_multis (or
+    `--set compat=reference`) to reproduce the reference term-for-term for
+    bit-parity comparison at uw != 0.
     """
     lat = cfg.lattice
     p = cfg.physics
@@ -49,7 +51,12 @@ def bounce_back_walls(cfg: Config, f_post, f_pre):
 
     # upper plate (moving wall)
     w = jnp.asarray(lat.W, dtype)
-    ex = jnp.asarray(lat.E[:, 0], dtype)
+    exq = lat.E[:, 0].astype(float)
+    if p.compat_ref_multis and lat.Q > 3:
+        # reference LBM.cu:1904: f2[d=3] += multis (e_3x = 0; d=4 gets none)
+        exq = exq.copy()
+        exq[3] += 1.0
+    ex = jnp.asarray(exq, dtype)
     mw = dtype.type(2.0 * p.rho0 * p.uw / cfg.cs2 / p.cfl) * w * ex
     f_post = f_post.at[:, -1].set(refl[:, -1] + mw[:, None, None])
     return f_post

@@ -38,8 +38,15 @@ def boltzmann_closure(cfg: Config, phi):
     return c, cn
 
 
-def pb_init(cfg: Config, phi0, mesh=None):
-    """Run the PB relaxation loop; returns (phi, charge, chargen, E)."""
+def pb_init(cfg: Config, phi0, mesh=None, with_residual: bool = False):
+    """Run the PB relaxation loop; returns (phi, charge, chargen, E), or
+    (phi, charge, chargen, E, residual) with with_residual=True.
+
+    residual is the final iteration's relative update norm
+    ||phi_new - phi||_inf / max(||phi||_inf, tiny) — a convergence
+    diagnostic the reference never surfaces (its 501 iterations run blind,
+    LBM.cu:89-106).  It makes long initializations observable and lets a
+    user trade `--set pb_iters=N` against a quantified accuracy loss."""
     p = cfg.physics
     dtype = phi0.dtype
     omega = dtype.type(p.pb_omega)
@@ -48,10 +55,18 @@ def pb_init(cfg: Config, phi0, mesh=None):
     E0 = jnp.zeros((3,) + cfg.grid.shape, dtype)
 
     def body(_, carry):
-        phi, _, _, _ = carry
+        phi = carry[0]
         c, cn = boltzmann_closure(cfg, phi)
         phi_solved, E = poisson_solve(cfg, c, cn, mesh)
         phi_new = omega * phi_solved + (1.0 - omega) * phi
-        return (phi_new, c, cn, E)
+        if not with_residual:
+            return (phi_new, c, cn, E)
+        res = jnp.max(jnp.abs(phi_new - phi)) / jnp.maximum(
+            jnp.max(jnp.abs(phi)), dtype.type(1e-300 if dtype == jnp.float64
+                                              else 1e-30))
+        return (phi_new, c, cn, E, res)
 
-    return jax.lax.fori_loop(0, p.pb_iters, body, (phi0, c0, cn0, E0))
+    init = (phi0, c0, cn0, E0)
+    if with_residual:
+        init = init + (jnp.asarray(jnp.inf, dtype),)
+    return jax.lax.fori_loop(0, p.pb_iters, body, init)
