@@ -20,10 +20,16 @@ Only y is ever sharded here: z carries the wall physics and the DST
 (everything stays chip-local), and x is the TPU lane dimension.  Pencil
 (y, x) meshes take the GSPMD oracle path.
 
-The halo blocks are 8 rows deep — one row of physics plus seven rows of
-sublane alignment (DMA sources must start on 8-row tile boundaries,
-pallas/fused_step.py) — so the exchanged volume is 8/NY_local of the state;
-at 256^3 over 4 chips that is ~3% of each chip's HBM traffic riding ICI.
+The kernel-side halo blocks are 8 rows deep (DMA sources must start on
+8-row tile boundaries, pallas/fused_step.py), but the kernel only ever
+reads the physics rows adjacent to the shard edge: window row 7 of the lo
+block / row 0 of the hi block for populations (the 1-deep streaming halo),
+and rows 6-7 / 0-1 of the phi blocks (the centered Ey difference reaches
+2 rows past the collide row range).  So only those rows ride ICI — 1 row
+per population field per side, 2 rows of phi — and each shard zero-pads
+them back to the aligned 8-row block locally (`_expand`).  Round 1 shipped
+the full 8-row blocks: 8x the streaming-halo ICI bytes (at ny_local = 32
+that was 25% of the shard rows re-sent every step; now 3.1%).
 """
 from __future__ import annotations
 
@@ -83,15 +89,26 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
     perm_fwd = [(i, (i + 1) % nsh) for i in range(nsh)]  # my rows -> right
     perm_bwd = [(i, (i - 1) % nsh) for i in range(nsh)]  # my rows -> left
 
-    def exchange(arr, rows_axis):
-        """(lo, hi) halo blocks for this shard: lo = left neighbor's last 8
-        rows, hi = right neighbor's first 8 rows."""
-        last = jax.lax.slice_in_dim(arr, arr.shape[rows_axis] - HALO,
-                                    arr.shape[rows_axis], axis=rows_axis)
-        first = jax.lax.slice_in_dim(arr, 0, HALO, axis=rows_axis)
-        lo = jax.lax.ppermute(last, "y", perm_fwd)
-        hi = jax.lax.ppermute(first, "y", perm_bwd)
-        return lo, hi
+    def exchange(arr, rows_axis, depth):
+        """(lo, hi) 8-row halo blocks for this shard, exchanging only the
+        `depth` physics rows the kernel reads (1 for populations — the
+        streaming halo; 2 for phi — the centered Ey stencil) and locally
+        zero-padding to the aligned 8-row block shape: lo physics rows sit
+        at the block's END (window rows 8-depth..7), hi rows at its START
+        (window rows 0..depth-1); the pad rows are never read."""
+        n_rows = arr.shape[rows_axis]
+        last = jax.lax.slice_in_dim(arr, n_rows - depth, n_rows,
+                                    axis=rows_axis)
+        first = jax.lax.slice_in_dim(arr, 0, depth, axis=rows_axis)
+        lo_sm = jax.lax.ppermute(last, "y", perm_fwd)
+        hi_sm = jax.lax.ppermute(first, "y", perm_bwd)
+
+        def _expand(blk, at_end):
+            pad = [(0, 0)] * blk.ndim
+            pad[rows_axis] = (HALO - depth, 0) if at_end else (0, HALO - depth)
+            return jnp.pad(blk, pad)
+
+        return _expand(lo_sm, True), _expand(hi_sm, False)
 
     def local_step(*args):
         it = iter(args)
@@ -105,12 +122,12 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
             ([g_] if th else [])
         los, his = [], []
         for a in pops:
-            lo, hi = exchange(a, 2)
+            lo, hi = exchange(a, 2, depth=1)
             los.append(lo)
             his.append(hi)
         phi_lo = phi_hi = None
         if ek:
-            phi_lo, phi_hi = exchange(phi, 1)
+            phi_lo, phi_hi = exchange(phi, 1, depth=2)
 
         ret = fused(f, h, hn, g_, phi, lo=los, hi=his,
                     phi_lo=phi_lo, phi_hi=phi_hi)

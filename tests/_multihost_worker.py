@@ -1,0 +1,82 @@
+"""Worker process for the 2-process jax.distributed test (not a test file).
+
+Each process owns 2 virtual CPU devices; jax.distributed.initialize joins
+them into one 4-device global mesh (the multi-host runtime of SURVEY.md
+§2.5 — the reference is strictly single-process, main.cu:58).  The sharded
+GSPMD step program is byte-identical on every process (SPMD); process 0
+writes the gathered result for the launching test to compare against a
+single-process run.
+
+Usage: python tests/_multihost_worker.py <pid> <nprocs> <port> <out.npz>
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+)
+
+import jax  # noqa: E402
+
+# NB: config.update, not the JAX_PLATFORMS env var — the axon TPU plugin's
+# sitecustomize imports jax before this script's first line runs.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    pid, nprocs, port, outpath = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 2 * nprocs, "global device merge failed"
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import numpy as np
+
+    from ekpnp import preset
+    from ekpnp.init import initialize
+    from ekpnp.parallel import mesh as pmesh
+
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul")
+
+    # deterministic identical init on every process, then lift the host
+    # arrays into one global sharded array per field
+    state, _ = initialize(cfg)
+    state_np = jax.tree.map(lambda x: np.asarray(x), state)
+    mesh = pmesh.make_mesh(jax.devices(), pencil=False)
+    shardings = pmesh.state_shardings(cfg, mesh)
+
+    def lift(x, sh):
+        if x is None:
+            return None
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    gstate = jax.tree.map(lift, state_np, shardings,
+                          is_leaf=lambda x: x is None)
+
+    run = pmesh.make_sharded_multi_step(cfg, mesh, 3)
+    out = run(gstate)
+    jax.block_until_ready(out.f)
+
+    from jax.experimental import multihost_utils
+
+    gathered = {}
+    for name in ("f", "h", "hn", "g", "phi"):
+        a = getattr(out, name)
+        if a is None:
+            continue
+        gathered[name] = np.asarray(
+            multihost_utils.process_allgather(a, tiled=True))
+    if pid == 0:
+        np.savez(outpath, **gathered)
+    multihost_utils.sync_global_devices("done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
