@@ -66,7 +66,9 @@ def _pick_ty(cfg, qs, nxp=None, vmem_budget=64 * 1024 * 1024):
 
     Wider strips amortize the 16 halo rows each window DMA re-reads:
     input amplification is (TY+16)/TY (TY=64 reads 25% extra, TY=128
-    12.5%).  Budget mirrors the scratch list in build_fused_step (2-slot
+    12.5%; both start offsets AND lengths of DMA slices must be 8-row
+    aligned, so the halo cannot shrink below 8+8 — see the dead-end note
+    at HI_POP).  Budget mirrors the scratch list in build_fused_step (2-slot
     input windows, 3 post-collision slots, double-buffered emit) and
     leaves the other half of VMEM for Mosaic's register spill arena: the
     4-field collide at TY=128 spills ~62 MB of vector registers, so the
@@ -178,7 +180,18 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     if TY is None or NY % TY or TY % 8:
         raise ValueError("no valid y-strip size (needs TY % 8 == 0 dividing NY)")
     R = TY + 2           # logical rows [y0-1, y0+TY]
-    WROWS = TY + 16      # DMA window rows [y0-8, y0+TY+8)
+    # DMA window rows: [y0-8, y0+TY+8).  Only 1 row above the strip is ever
+    # read for populations (ld_pop's highest row is TY+8) and 2 for phi
+    # (the centered Ey stencil), so trimming the upper halo to 1-2 rows was
+    # probed as a ~5% input-traffic saving — but Mosaic requires DMA slice
+    # LENGTHS, not just start offsets, to be 8-row aligned ("Slice shape
+    # along dimension 2 must be aligned to tiling (8), but is 129",
+    # measured on v5e at 256^3), so the symmetric 8-row halo window is the
+    # minimum and round 1's 16-halo-row amplification (TY+16)/TY stands.
+    HI_POP = 8
+    HI_PHI = 8
+    WROWS = TY + HALO + HI_POP
+    WROWS_PHI = TY + HALO + HI_PHI
     JY = NY // TY
 
     # ---- static lattice/physics constants -------------------------------
@@ -248,20 +261,22 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         y0 = pl.multiple_of(j * TY, 8)
 
         # ------------------------------------------------ input DMA
-        def _pieces(case):
+        def _pieces(case, hi_n):
             """(src_kind, src_row, window_row, n) pieces assembling the
-            [y0-8, y0+TY+8) window.  "lo"/"hi" are the periodic wrap
-            blocks: rows [NY-8, NY) / [0, 8) of the full array locally, or
-            the neighbor shards' edge blocks (halo inputs) multi-chip."""
+            [y0-8, y0+TY+hi_n) window.  "lo"/"hi" are the periodic wrap
+            blocks: rows [NY-8, NY) / [0, hi_n) of the full array locally,
+            or the neighbor shards' edge blocks (halo inputs) multi-chip.
+            Every piece's window_row stays a multiple of 8 (the DMA start
+            alignment rule); only the trailing piece's LENGTH is odd."""
             ym = pl.multiple_of(y0 - HALO, 8)
             if case == "single":      # JY == 1: wraps both ends
                 return [("lo", 0, 0, HALO), ("main", 0, HALO, TY),
-                        ("hi", 0, TY + HALO, HALO)]
+                        ("hi", 0, TY + HALO, hi_n)]
             if case == "interior":
-                return [("main", ym, 0, WROWS)]
+                return [("main", ym, 0, TY + HALO + hi_n)]
             if case == "first":
-                return [("lo", 0, 0, HALO), ("main", 0, HALO, TY + HALO)]
-            return [("main", ym, 0, TY + HALO), ("hi", 0, TY + HALO, HALO)]
+                return [("lo", 0, 0, HALO), ("main", 0, HALO, TY + hi_n)]
+            return [("main", ym, 0, TY + HALO), ("hi", 0, TY + HALO, hi_n)]
 
         def _pop_src(kind, k, plane, sa, n):
             if kind == "main":
@@ -284,7 +299,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         def _case_copies(case, plane, slot):
             out = []
             for k in range(nf):
-                for i, (kind, sa, da, n) in enumerate(_pieces(case)):
+                for i, (kind, sa, da, n) in enumerate(_pieces(case, HI_POP)):
                     out.append(pltpu.make_async_copy(
                         _pop_src(kind, k, plane, sa, n),
                         buf_in[k].at[slot, :, pl.ds(da, n), :],
@@ -295,7 +310,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             return [pltpu.make_async_copy(
                         _phi_src(kind, plane, sa, n),
                         buf_phi.at[slot, pl.ds(da, n), :], sem_phi.at[slot, i])
-                    for i, (kind, sa, da, n) in enumerate(_pieces(case))]
+                    for i, (kind, sa, da, n) in enumerate(_pieces(case, HI_PHI))]
 
         def _in_do(plane, action):
             slot = jax.lax.rem(jnp.int32(plane), jnp.int32(2))
@@ -823,7 +838,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     for q in QS:
         scratch.append(pltpu.VMEM((2, q, WROWS, NX), dtype))   # input windows
     if ek:
-        scratch.append(pltpu.VMEM((4, WROWS, NX), dtype))      # phi windows
+        scratch.append(pltpu.VMEM((4, WROWS_PHI, NX), dtype))  # phi windows
     for q in QS:
         scratch.append(pltpu.VMEM((3, q, R, NX), dtype))       # post slots
     scratch.append(pltpu.VMEM((Q, R, NX), dtype))              # f_pin
