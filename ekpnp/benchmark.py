@@ -27,7 +27,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=0, help="cubic grid edge (0 = auto)")
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--mode", choices=["coupled", "fluid", "poisson"],
+    ap.add_argument("--mode", choices=["coupled", "fluid", "poisson", "pbinit"],
                     default="coupled")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--pallas", action="store_true", default=None)
@@ -98,7 +98,48 @@ def main(argv=None):
                           "unit": "ms", "vs_baseline": 0}))
         return 1
 
-    from ekpnp.pallas.fused_step import fused_supported
+    from ekpnp.pallas.fused_step import fused_recommended
+
+    if args.mode == "pbinit":
+        # Cost + convergence of the 501-iteration Poisson-Boltzmann
+        # double-layer initialization (reference LBM.cu:89-106; round-2
+        # verdict item 9).  The residual quantifies what --set pb_iters=N
+        # trades away; see README.
+        from ekpnp.init import initialize
+
+        for n in sizes:
+            try:
+                cfg = preset(
+                    "reference", nx=n, ny=n, nz=n + 1, dtype=args.dtype,
+                    fft_method="matmul" if backend != "cpu" else "auto",
+                )
+                t0 = time.perf_counter()
+                state, _, res = initialize(cfg, with_residual=True)
+                jax.block_until_ready(state.f)
+                compile_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                state, _, res = initialize(cfg, with_residual=True)
+                resv = float(res)
+                elapsed = time.perf_counter() - t0
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                    continue
+                raise
+            iters = cfg.physics.pb_iters
+            print(json.dumps({
+                "metric": f"PB double-layer init at {n}^3 "
+                          f"({iters} iters, {args.dtype}, {backend})",
+                "value": round(elapsed, 3),
+                "unit": "s",
+                "vs_baseline": 0,
+                "ms_per_iteration": round(elapsed / iters * 1e3, 3),
+                "final_relative_update": resv,
+                "compile_s": round(compile_s - elapsed, 1),
+            }))
+            return 0
+        print(json.dumps({"metric": "pbinit", "value": 0, "unit": "s",
+                          "vs_baseline": 0}))
+        return 1
 
     result = None
     for n in sizes:
@@ -116,7 +157,7 @@ def main(argv=None):
                 scalar_lattice=args.scalar_lattice if ek else "same",
             )
             use_pallas = (args.pallas if args.pallas is not None
-                          else backend != "cpu" and fused_supported(cfg))
+                          else backend != "cpu" and fused_recommended(cfg))
             if use_pallas:
                 import dataclasses
 

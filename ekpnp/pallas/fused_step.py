@@ -115,6 +115,22 @@ def fused_supported(cfg: Config) -> bool:
     return _pick_ty(cfg, qs, _padded_nx(g.nx, 128)) is not None
 
 
+def fused_recommended(cfg: Config) -> bool:
+    """fused_supported AND the grid is large enough for the kernel to win.
+
+    The z-pipeline pays a fixed cost per (strip, plane) step, so on very
+    small planes the jnp-oracle path is competitive: measured on v5e f32,
+    the canonical 50x8x51 runs 7.7 MLUPS fused vs 8.4 oracle (both
+    latency-bound at 20k nodes), while 64^3 runs 252 vs 104 and 256^3
+    1344 vs 113.  Plane area ny * padded-nx >= 8192 lanes separates the
+    two regimes (64^3 with nx padded to 128 sits exactly at the
+    threshold and wins 2.4x).  The CLI auto-enables on this; an explicit
+    --set use_pallas=... always overrides."""
+    if not fused_supported(cfg):
+        return False
+    return cfg.grid.ny * _padded_nx(cfg.grid.nx, 128) >= 8192
+
+
 def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      ty_override: int = 0, halo: bool = False,
                      pad_x: Optional[int] = None):

@@ -135,12 +135,13 @@ def cmd_run(args):
     import jax.numpy as jnp
 
     # auto-enable the fused Pallas kernel on TPU f32 runs when the shapes
-    # support it (the user's explicit --set use_pallas=... always wins)
+    # support it AND the grid is large enough for it to win (see
+    # fused_recommended); the user's explicit --set use_pallas=... always wins
     if "use_pallas" not in _parse_overrides(args.set):
-        from .pallas.fused_step import fused_supported
+        from .pallas.fused_step import fused_recommended
 
         if (jax.default_backend() != "cpu" and cfg.run.dtype == "float32"
-                and fused_supported(cfg)):
+                and fused_recommended(cfg)):
             import dataclasses
 
             cfg = dataclasses.replace(

@@ -171,7 +171,7 @@ def test_fused_padded_moving_wall():
 
 
 def test_fused_supported_covers_reference_and_baseline_grids():
-    from ekpnp.pallas.fused_step import fused_supported
+    from ekpnp.pallas.fused_step import fused_recommended, fused_supported
 
     # the canonical reference grid (LBM.h:32-36) and BASELINE configs 1-4
     assert fused_supported(preset("reference"))
@@ -179,3 +179,11 @@ def test_fused_supported_covers_reference_and_baseline_grids():
     assert fused_supported(preset("ek-channel"))
     assert fused_supported(preset("ek-pnp"))
     assert fused_supported(preset("ek-pnp-thermal"))
+    # the auto-enable heuristic: large grids take the kernel, the tiny
+    # latency-bound canonical grid keeps the oracle (measured: 7.7 vs 8.4
+    # MLUPS there, 252 vs 104 at 64^3 — fused_recommended docstring)
+    assert not fused_recommended(preset("reference"))
+    assert fused_recommended(preset("ek-channel"))
+    assert fused_recommended(preset("ek-pnp"))
+    assert fused_recommended(preset("ek-pnp-thermal"))
+    assert fused_recommended(preset("pod"))
