@@ -173,10 +173,16 @@ def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
     return poisson_phi_from_rhs(cfg, charge_rhs(cfg, charge, chargen), mesh)
 
 
-def poisson_phi_from_rhs(cfg: Config, rhs, mesh=None):
+def poisson_phi_from_rhs(cfg: Config, rhs, mesh=None, rhs_hx: bool = False):
     """The DST/Hartley solve core, taking the interior RHS rows z=1..NZ-2
-    directly (the fused kernel emits them, pallas/fused_step.py)."""
-    from ..parallel.fft import dst_z, dst_z_padded, fft2_xy, hartley2_xy
+    directly (the fused kernel emits them, pallas/fused_step.py).
+
+    rhs_hx=True: the RHS arrives already x-Hartley-transformed (emitted on
+    the fused kernel's idle MXU, fused_step.py hartley_x) — the separable
+    stages commute, so the solve skips its forward x-stage and applies a
+    single inverse x-stage after the symbol multiply."""
+    from ..parallel.fft import (dst_z, dst_z_padded, fft2_xy, hartley2_xy,
+                                hartley_x_local, hartley_y)
 
     g = cfg.grid
     p = cfg.physics
@@ -188,8 +194,14 @@ def poisson_phi_from_rhs(cfg: Config, rhs, mesh=None):
     method = None if cfg.run.fft_method == "auto" else cfg.run.fft_method
     if method == "dst":
         method = None
+    if rhs_hx and method == "fft":
+        raise ValueError("rhs_hx RHS is Hartley-space; fft_method='fft' "
+                         "cannot consume it")
     s_z = dst_z(rhs)
-    if method != "fft":
+    if rhs_hx:
+        spec = hartley_y(s_z, mesh) * inv_sym
+        back = hartley_x_local(hartley_y(spec, mesh))
+    elif method != "fft":
         # real path: cas-basis transform on the MXU, self-inverse up to NY*NX
         spec = hartley2_xy(s_z, mesh) * inv_sym
         back = hartley2_xy(spec, mesh)

@@ -133,7 +133,8 @@ def fused_recommended(cfg: Config) -> bool:
 
 def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      ty_override: int = 0, halo: bool = False,
-                     pad_x: Optional[int] = None):
+                     pad_x: Optional[int] = None,
+                     hartley_x: Optional[bool] = None):
     """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).
 
     E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
@@ -146,6 +147,20 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     adjacent to the shard, exchanged over ICI with ppermute — instead of
     wrapping locally.  fn then takes (f, h, hn, g, phi, lo..., hi...,
     phi_lo, phi_hi) where lo/hi are per-field (27, NZ, 8, NX) blocks.
+
+    hartley_x: emit the Poisson RHS planes already x-Hartley-transformed —
+    each (TY, NX) RHS tile is multiplied by the (NX, NX) cas matrix on the
+    MXU before its async store.  The kernel is HBM-bound with the MXU
+    otherwise idle, so the transform rides for free where the standalone
+    x-stage of the spectral solve costs ~0.5 ms at 256^3 (measured,
+    scripts/tpu_poisson_probe.py); the solve then starts from
+    dst_z -> hartley_y and applies only the single inverse x-stage
+    (ops/poisson.py rhs_hx=True).  Transform order is interchangeable —
+    the separable stages commute exactly.  None = auto: on whenever the
+    solve consumes it (EK on, matmul/DST spectral path) and the x axis is
+    unpadded (the cas matmul needs logical lanes only).  The returned
+    `apply` carries the resolved flag as `apply.hartley_x` so callers pass
+    the matching rhs_hx to the solve.
 
     pad_x: lane-tile padding of the x axis.  Mosaic requires whole
     128-lane tiles for the window DMAs and lane rolls (every NX < 128
@@ -180,6 +195,18 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
     ek = p.enable_ek
     thermal = p.enable_thermal
+    if hartley_x is None:
+        import os
+
+        # EKPNP_HXRHS=0/1 overrides the auto choice (A/B probe knob)
+        env = os.environ.get("EKPNP_HXRHS")
+        hartley_x = (bool(int(env)) if env is not None
+                     else bool(ek) and NX == NXL
+                     and cfg.run.fft_method != "fft")
+        hartley_x = hartley_x and bool(ek) and NX == NXL
+    if hartley_x and (not ek or NX != NXL):
+        raise ValueError("hartley_x RHS emission needs EK on and an "
+                         "unpadded x axis (NX % lane tile == 0)")
     joule = p.joule if (p.enable_ek and p.enable_thermal) else 0.0
     # field layout: 0 = fluid, then the ion species (1 or 2 of them), then
     # temperature last.  Single-species (two_species=False): no hn field,
@@ -247,6 +274,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     n_in = nf + (1 if ek else 0)
     if halo:
         n_in += 2 * nf + (2 if ek else 0)
+    # Mosaic's in-kernel dot lowers only DEFAULT (bf16) or HIGHEST (fp32
+    # contract); HIGHEST here is >= the 3-pass HIGH the standalone x-stage
+    # uses, and the matmul rides the otherwise-idle MXU either way
+    hx_prec = jax.lax.Precision.HIGHEST
 
     def kernel(*refs):
         idx = 0
@@ -257,6 +288,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             in_hi = refs[idx : idx + nf]; idx += nf
             in_phi_lo = refs[idx] if ek else None; idx += 1 if ek else 0
             in_phi_hi = refs[idx] if ek else None; idx += 1 if ek else 0
+        in_hx = refs[idx] if hartley_x else None; idx += 1 if hartley_x else 0
         out_pop = refs[idx : idx + nf]; idx += nf
         out_rhs = refs[idx] if ek else None; idx += 1 if ek else 0
         buf_in = refs[idx : idx + nf]; idx += nf
@@ -595,14 +627,25 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             # would queue behind the in-flight window/emit DMAs and
             # serialize every plane step (measured ~7 ms/step at 256^3).
             if ek:
+                def rhs_tile():
+                    val = ((cn[1 : TY + 1] - c[1 : TY + 1])
+                           if nspec == 2 else -c[1 : TY + 1]) \
+                        * cst(kappa / p.eps)
+                    if hartley_x:
+                        # forward x-Hartley on the otherwise-idle MXU (the
+                        # cas matrix is symmetric: val @ H == H applied
+                        # along x); see the hartley_x docstring note
+                        val = jax.lax.dot(val, in_hx[...],
+                                          precision=hx_prec,
+                                          preferred_element_type=dtype)
+                    return val
+
                 cb = jax.lax.rem(jnp.int32(plane_s), jnp.int32(2))
                 if isinstance(plane_s, int):
                     # startup planes (s==1): plane 1 issues the first copy,
                     # plane 0 is a wall row — nothing emitted, no waits
                     if plane_s == 1:
-                        rhsb[cb] = ((cn[1 : TY + 1] - c[1 : TY + 1])
-                                    if nspec == 2 else -c[1 : TY + 1]) \
-                            * cst(kappa / p.eps)
+                        rhsb[cb] = rhs_tile()
                         pltpu.make_async_copy(
                             rhsb.at[cb], out_rhs.at[0, pl.ds(y0, TY), :],
                             sem_cmom.at[cb]).start()
@@ -617,9 +660,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
                     @pl.when(plane_s <= NZ - 2)
                     def _():
-                        rhsb[cb] = ((cn[1 : TY + 1] - c[1 : TY + 1])
-                                    if nspec == 2 else -c[1 : TY + 1]) \
-                            * cst(kappa / p.eps)
+                        rhsb[cb] = rhs_tile()
                         pltpu.make_async_copy(
                             rhsb.at[cb],
                             out_rhs.at[plane_s - 1, pl.ds(y0, TY), :],
@@ -843,6 +884,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
     # ------------------------------------------------------------------
     in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
+    if hartley_x:
+        # constant block index -> the pipeline keeps the cas matrix resident
+        # in VMEM across every (strip, plane) step; no per-step refetch
+        in_specs.append(pl.BlockSpec((NX, NX), lambda j, s: (0, 0)))
     out_shapes = [jax.ShapeDtypeStruct((q, NZ, NY, NX), dtype) for q in QS]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(nf)]
     if ek:
@@ -909,7 +954,13 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             args += list(lo) + list(hi)
             if ek:
                 args += [phi_lo, phi_hi]
-        outs = [_trim(o) for o in fused(*[_pad(a) for a in args])]
+        args = [_pad(a) for a in args]
+        if hartley_x:
+            from ..parallel.fft import _hartley_matrix
+
+            args.append(jnp.asarray(
+                _hartley_matrix(NXL, dtype == jnp.float64), dtype))
+        outs = [_trim(o) for o in fused(*args)]
         f1 = outs.pop(0)
         h1 = outs.pop(0) if ek else None
         hn1 = outs.pop(0) if ek and nspec == 2 else None
@@ -917,4 +968,5 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         rhs = outs.pop(0) if ek else None
         return f1, h1, hn1, g1, rhs
 
+    apply.hartley_x = hartley_x
     return apply

@@ -37,7 +37,9 @@ def step_pallas(cfg: Config, state: State, mesh=None, interpret: bool = False,
     f1, h1, hn1, g1, rhs = fused(state.f, state.h, state.hn, state.g, state.phi)
     phi = state.phi
     if p.enable_ek:
-        phi = poisson_phi_from_rhs(cfg, rhs, mesh)
+        # rhs is x-Hartley-space when the kernel fused the forward x-stage
+        # onto its idle MXU (fused_step.py hartley_x)
+        phi = poisson_phi_from_rhs(cfg, rhs, mesh, rhs_hx=fused.hartley_x)
     dt = state.t.dtype.type(p.dt(cfg.grid.dx))
     return (
         State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, t=state.t + dt),

@@ -210,6 +210,30 @@ def hartley2_xy(a, mesh: Optional[Mesh] = None):
     return _cs(a, mesh, P(None, "y", "x"))
 
 
+def hartley_y(a, mesh: Optional[Mesh] = None):
+    """y-axis-only Hartley stage, for RHS data whose x axis was already
+    transformed inside the fused kernel (pallas/fused_step.py hartley_x):
+    the separable stages commute, so the solve runs dst_z -> hartley_y ->
+    symbol multiply -> hartley_y -> one local inverse x-stage.  Same
+    resharding structure as the y half of hartley2_xy."""
+    if mesh is None or mesh.devices.size == 1:
+        return _apply_hartley(a, 1)
+    pencil = "x" in mesh.axis_names
+    if not pencil:
+        a = _cs(a, mesh, P(None, None, "y"))     # all-to-all: y -> x
+        a = _apply_hartley(a, 1)                 # y local
+        return _cs(a, mesh, P(None, "y", None))
+    a = _cs(a, mesh, P(None, None, ("y", "x")))
+    a = _apply_hartley(a, 1)
+    return _cs(a, mesh, P(None, "y", "x"))
+
+
+def hartley_x_local(a):
+    """Single unnormalized x-Hartley stage (x must be locally complete —
+    true of the slab layouts used with the in-kernel hartley_x path)."""
+    return _apply_hartley(a, 2)
+
+
 def fft2_xy(a, mesh: Optional[Mesh] = None, inverse: bool = False,
             method: Optional[str] = None):
     """2D transform along (y, x) of (NZI, NY, NX); z stays local (its extent

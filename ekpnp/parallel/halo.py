@@ -160,7 +160,7 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
     if ek:
         from ..ops.poisson import poisson_phi_from_rhs
 
-        phi = poisson_phi_from_rhs(cfg, rhs, mesh)
+        phi = poisson_phi_from_rhs(cfg, rhs, mesh, rhs_hx=fused.hartley_x)
         phi = jax.lax.with_sharding_constraint(phi, NamedSharding(mesh, sca_s))
 
     dt = state.t.dtype.type(p.dt(cfg.grid.dx))

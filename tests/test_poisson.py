@@ -114,3 +114,22 @@ def test_dst_hartley_matches_odd_extension_oracle():
     scale = float(jnp.max(jnp.abs(phi_e)))
     np.testing.assert_allclose(np.asarray(phi_h), np.asarray(phi_e), atol=1e-14 * max(scale, 1))
     np.testing.assert_allclose(np.asarray(E_h), np.asarray(E_e), atol=1e-6)
+
+
+def test_rhs_hx_solve_matches_plain_rhs_solve():
+    """The rhs_hx variant (RHS pre-transformed along x, as the fused kernel
+    emits it on its idle MXU) must equal the plain solve to roundoff — the
+    separable transform stages commute exactly."""
+    from ekpnp.ops.poisson import charge_rhs, poisson_phi_from_rhs
+    from ekpnp.parallel.fft import hartley_x_local
+
+    rng = np.random.default_rng(5)
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul")
+    c = jnp.asarray(rng.random((9, 8, 16)))
+    cn = jnp.asarray(rng.random((9, 8, 16)))
+    rhs = charge_rhs(cfg, c, cn)
+    phi_plain = poisson_phi_from_rhs(cfg, rhs)
+    phi_hx = poisson_phi_from_rhs(cfg, hartley_x_local(rhs), rhs_hx=True)
+    scale = float(jnp.max(jnp.abs(phi_plain)))
+    np.testing.assert_allclose(np.asarray(phi_hx), np.asarray(phi_plain),
+                               atol=1e-12 * max(scale, 1))
