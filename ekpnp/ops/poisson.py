@@ -217,6 +217,51 @@ def poisson_phi_from_rhs(cfg: Config, rhs, mesh=None, rhs_hx: bool = False):
     return phi
 
 
+def poisson_psi_hx_from_rhs(cfg: Config, rhs_hx, mesh=None):
+    """Fully-fused-x solve: Hartley-space RHS in (the fused kernel emits
+    it, fused_step.py hartley_x), Hartley-space potential out — psi_hx
+    (NZ, NY, NX) with exactly-zero wall rows (dst_z_padded emits them),
+    satisfying  phi = H_x(psi_hx) + lifting_profile  (phi_from_psi_hx).
+
+    Neither x-stage runs here: the forward one happened on the kernel's
+    idle MXU last step and the inverse one happens there next step
+    (fused_step.py phi_hx), so the serial solve is dst_z -> hartley_y ->
+    symbol multiply -> hartley_y -> padded inverse DST only.  Used by the
+    multi-step scan loops, which encode/decode once per chunk
+    (pallas/step.py multi_step_pallas)."""
+    from ..parallel.fft import dst_z, dst_z_padded, hartley_y
+
+    g = cfg.grid
+    dtype = rhs_hx.dtype
+    if cfg.run.fft_method == "fft":
+        raise ValueError("psi_hx solve requires the Hartley (matmul) path")
+    inv_sym = _scaled_inv_symbol(cfg, dtype, 4.0 / (g.ne * g.ny * g.nx))
+    s_z = dst_z(rhs_hx)
+    spec = hartley_y(s_z, mesh) * inv_sym
+    back = hartley_y(spec, mesh)
+    return dst_z_padded(back)
+
+
+def phi_from_psi_hx(cfg: Config, psi):
+    """Decode the x-Hartley potential: phi = H_x(psi) + lifting.  The wall
+    rows come out exactly voltage/voltage2 (psi wall rows are identically
+    zero and lifting interpolates the plate values)."""
+    from ..parallel.fft import hartley_x_local
+
+    return hartley_x_local(psi) + lifting_profile(cfg, psi.dtype)
+
+
+def psi_hx_from_phi(cfg: Config, phi):
+    """Encode real phi into x-Hartley space: psi = H_x(phi - lifting)/NX
+    (H_x is self-inverse up to NX)."""
+    from ..parallel.fft import hartley_x_local
+
+    g = cfg.grid
+    dtype = phi.dtype
+    return hartley_x_local(phi - lifting_profile(cfg, dtype)) \
+        * dtype.type(1.0 / g.nx)
+
+
 def poisson_phi(cfg: Config, charge, chargen, mesh=None):
     """One potential solve, phi only (E is the exact gradient of phi and is
     derived where consumed — in-kernel on the Pallas path, `efield` on the

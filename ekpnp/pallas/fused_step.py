@@ -134,7 +134,8 @@ def fused_recommended(cfg: Config) -> bool:
 def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      ty_override: int = 0, halo: bool = False,
                      pad_x: Optional[int] = None,
-                     hartley_x: Optional[bool] = None):
+                     hartley_x: Optional[bool] = None,
+                     phi_hx: bool = False):
     """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).
 
     E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
@@ -161,6 +162,15 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     unpadded (the cas matmul needs logical lanes only).  The returned
     `apply` carries the resolved flag as `apply.hartley_x` so callers pass
     the matching rhs_hx to the solve.
+
+    phi_hx: the incoming `phi` argument is psi_hx — the x-Hartley-encoded
+    potential the psi_hx solve emits (ops/poisson.py poisson_psi_hx_from
+    _rhs; phi = H_x(psi) + lifting) — and each phi window plane is decoded
+    in-kernel right after its DMA wait: one (rows, NX) x (NX, NX) MXU
+    matmul plus the scalar lifting value for that z.  Together with
+    hartley_x this removes BOTH x-stages from the serial spectral solve;
+    the multi-step scan loops encode once and decode once per compiled
+    chunk (pallas/step.py).  Requires hartley_x.
 
     pad_x: lane-tile padding of the x axis.  Mosaic requires whole
     128-lane tiles for the window DMAs and lane rolls (every NX < 128
@@ -196,17 +206,23 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     ek = p.enable_ek
     thermal = p.enable_thermal
     if hartley_x is None:
-        import os
+        if phi_hx:
+            hartley_x = True
+        else:
+            import os
 
-        # EKPNP_HXRHS=0/1 overrides the auto choice (A/B probe knob)
-        env = os.environ.get("EKPNP_HXRHS")
-        hartley_x = (bool(int(env)) if env is not None
-                     else bool(ek) and NX == NXL
-                     and cfg.run.fft_method != "fft")
-        hartley_x = hartley_x and bool(ek) and NX == NXL
+            # EKPNP_HXRHS=0/1 overrides the auto choice (A/B probe knob)
+            env = os.environ.get("EKPNP_HXRHS")
+            hartley_x = (bool(int(env)) if env is not None
+                         else bool(ek) and NX == NXL
+                         and cfg.run.fft_method != "fft")
+            hartley_x = hartley_x and bool(ek) and NX == NXL
     if hartley_x and (not ek or NX != NXL):
         raise ValueError("hartley_x RHS emission needs EK on and an "
                          "unpadded x axis (NX % lane tile == 0)")
+    if phi_hx and not hartley_x:
+        raise ValueError("phi_hx ingestion requires hartley_x emission "
+                         "(they share the resident cas matrix)")
     joule = p.joule if (p.enable_ek and p.enable_thermal) else 0.0
     # field layout: 0 = fluid, then the ion species (1 or 2 of them), then
     # temperature last.  Single-species (two_species=False): no hn field,
@@ -417,6 +433,26 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         def wait_phi(plane):
             if ek:
                 _phi_do(plane, lambda c: c.wait())
+                if phi_hx:
+                    xform_phi(plane)
+
+        def xform_phi(plane):
+            """Decode one freshly-DMA'd psi_hx window plane into real phi
+            in place: buf = buf @ H + lifting(z) — the inverse x-Hartley
+            stage of the spectral solve, riding the idle MXU (phi_hx).
+            Every downstream read (efield_planes) then sees real phi."""
+            if isinstance(plane, int):
+                slot = plane % 4
+                lift = cst(p.voltage
+                           + (p.voltage2 - p.voltage) * plane / (NZ - 1))
+            else:
+                slot = jax.lax.rem(jnp.int32(plane), jnp.int32(4))
+                lift = (cst((p.voltage2 - p.voltage) / (NZ - 1))
+                        * jax.lax.convert_element_type(plane, dtype)
+                        + cst(p.voltage))
+            buf_phi[slot] = jax.lax.dot(
+                buf_phi[slot], in_hx[...], precision=hx_prec,
+                preferred_element_type=dtype) + lift
 
         # ------------------------------------------------ collide
         # All collide stages stream direction-by-direction straight from the

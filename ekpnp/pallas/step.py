@@ -12,17 +12,17 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..ops.poisson import poisson_phi_from_rhs
+from ..ops.poisson import poisson_phi_from_rhs, poisson_psi_hx_from_rhs
 from ..state import State
 from .fused_step import build_fused_step
 
 
 @lru_cache(maxsize=None)
 def _get_fused(cfg: Config, dtype_name: str, interpret: bool, ty: int,
-               pad_x):
+               pad_x, phi_hx: bool = False):
     return build_fused_step(
         cfg, dtype=jnp.dtype(dtype_name), interpret=interpret, ty_override=ty,
-        pad_x=pad_x,
+        pad_x=pad_x, phi_hx=phi_hx,
     )
 
 
@@ -47,13 +47,63 @@ def step_pallas(cfg: Config, state: State, mesh=None, interpret: bool = False,
     )
 
 
+def step_pallas_hx(cfg: Config, state: State, mesh=None,
+                   interpret: bool = False, ty_override: int = 0):
+    """One fused timestep in x-Hartley phi encoding: state.phi holds
+    psi_hx (phi = H_x(psi) + lifting, ops/poisson.py phi_from_psi_hx).
+    The kernel decodes each phi window plane on its idle MXU (phi_hx) and
+    emits the RHS already x-transformed (hartley_x), so the serial
+    spectral solve runs with NO x-stage at all.  Used inside multi-step
+    scans, which encode/decode once per compiled chunk."""
+    p = cfg.physics
+    fused = _get_fused(cfg, state.f.dtype.name, interpret, ty_override,
+                       None, phi_hx=True)
+    f1, h1, hn1, g1, rhs = fused(state.f, state.h, state.hn, state.g, state.phi)
+    psi = poisson_psi_hx_from_rhs(cfg, rhs, mesh)
+    dt = state.t.dtype.type(p.dt(cfg.grid.dx))
+    return State(f=f1, h=h1, hn=hn1, g=g1, phi=psi, t=state.t + dt)
+
+
+def _phi_hx_capable(cfg: Config, interpret: bool = False) -> bool:
+    import os
+
+    from .fused_step import _padded_nx, fused_supported
+
+    if os.environ.get("EKPNP_PHIHX") == "0":  # A/B probe knob
+        return False
+    g = cfg.grid
+    return (cfg.physics.enable_ek and fused_supported(cfg)
+            and cfg.run.fft_method != "fft"
+            and _padded_nx(g.nx, 0 if interpret else 128) == g.nx)
+
+
 @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
 def multi_step_pallas(cfg: Config, state: State, n: int) -> State:
     # unroll=2 so the buffers ping-pong without carry copies — see
     # ekpnp.step.multi_step
+    if _phi_hx_capable(cfg):
+        return multi_step_pallas_hx(cfg, state, n)
+
     def body(carry, _):
         new, _ = step_pallas(cfg, carry)
         return new, None
 
     state, _ = jax.lax.scan(body, state, None, length=n, unroll=2)
     return state
+
+
+def multi_step_pallas_hx(cfg: Config, state: State, n: int,
+                         interpret: bool = False) -> State:
+    """n steps carrying phi in x-Hartley encoding across the whole chunk:
+    one encode, n x-stage-free steps, one decode — the two x-Hartley
+    matmuls per step ride the kernel's idle MXU instead of serializing in
+    the spectral solve (~2 of its 5 remaining matmul stages)."""
+    from ..ops.poisson import phi_from_psi_hx, psi_hx_from_phi
+
+    state = state._replace(phi=psi_hx_from_phi(cfg, state.phi))
+
+    def body(carry, _):
+        return step_pallas_hx(cfg, carry, interpret=interpret), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n, unroll=2)
+    return state._replace(phi=phi_from_psi_hx(cfg, state.phi))

@@ -58,11 +58,13 @@ def supports_halo_step(cfg: Config, mesh) -> bool:
 
 
 @lru_cache(maxsize=None)
-def _local_fused(cfg_local: Config, dtype_name: str, interpret: bool):
+def _local_fused(cfg_local: Config, dtype_name: str, interpret: bool,
+                 phi_hx: bool = False):
     from ..pallas.fused_step import build_fused_step
 
     return build_fused_step(
-        cfg_local, dtype=jnp.dtype(dtype_name), interpret=interpret, halo=True
+        cfg_local, dtype=jnp.dtype(dtype_name), interpret=interpret, halo=True,
+        phi_hx=phi_hx,
     )
 
 
@@ -73,13 +75,20 @@ def _local_cfg(cfg: Config, nshards: int) -> Config:
 
 
 def step_halo(cfg: Config, state: State, mesh: Mesh,
-              interpret: bool = False) -> State:
+              interpret: bool = False, phi_hx: bool = False) -> State:
     """One timestep: ppermute halo exchange + per-shard fused kernel under
-    shard_map, then the GSPMD spectral Poisson solve."""
+    shard_map, then the GSPMD spectral Poisson solve.
+
+    phi_hx=True: state.phi holds the x-Hartley-encoded potential psi_hx
+    (ops/poisson.py) — the halo rows exchange in psi space (the per-row
+    transform commutes with row exchange), the kernel decodes each window
+    plane on its MXU, and the solve runs with no x-stage at all
+    (poisson_psi_hx_from_rhs).  Used by make_halo_multi_step, which
+    encodes/decodes once per compiled chunk."""
     p = cfg.physics
     nsh = mesh.shape["y"]
     cfg_local = _local_cfg(cfg, nsh)
-    fused = _local_fused(cfg_local, state.f.dtype.name, interpret)
+    fused = _local_fused(cfg_local, state.f.dtype.name, interpret, phi_hx)
     ek, th = p.enable_ek, p.enable_thermal
 
     two = p.two_species
@@ -158,9 +167,14 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
 
     phi = state.phi
     if ek:
-        from ..ops.poisson import poisson_phi_from_rhs
+        if phi_hx:
+            from ..ops.poisson import poisson_psi_hx_from_rhs
 
-        phi = poisson_phi_from_rhs(cfg, rhs, mesh, rhs_hx=fused.hartley_x)
+            phi = poisson_psi_hx_from_rhs(cfg, rhs, mesh)
+        else:
+            from ..ops.poisson import poisson_phi_from_rhs
+
+            phi = poisson_phi_from_rhs(cfg, rhs, mesh, rhs_hx=fused.hartley_x)
         phi = jax.lax.with_sharding_constraint(phi, NamedSharding(mesh, sca_s))
 
     dt = state.t.dtype.type(p.dt(cfg.grid.dx))
@@ -169,18 +183,34 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
 
 def make_halo_multi_step(cfg: Config, mesh: Mesh, n: int,
                          interpret: bool = False):
-    """n fused shard_map steps under one jit with stable shardings."""
+    """n fused shard_map steps under one jit with stable shardings.
+
+    When the kernel can carry phi in x-Hartley encoding (pallas/step.py
+    _phi_hx_capable on the per-shard grid), the chunk encodes once, runs
+    every step x-stage-free, and decodes once — state in and out is
+    ordinary real phi either way."""
     check_divisibility(cfg, mesh)
     if not supports_halo_step(cfg, mesh):
         raise ValueError("halo step needs a ('y',) mesh with ny/n % 8 == 0")
     st_sh = state_shardings(cfg, mesh)
 
+    from ..pallas.step import _phi_hx_capable
+
+    hx = _phi_hx_capable(_local_cfg(cfg, mesh.shape["y"]), interpret)
+
     def run(s):
+        if hx:
+            from ..ops.poisson import phi_from_psi_hx, psi_hx_from_phi
+
+            s = s._replace(phi=psi_hx_from_phi(cfg, s.phi))
+
         # unroll=2 so buffers ping-pong (see step.multi_step)
         def body(carry, _):
-            return step_halo(cfg, carry, mesh, interpret), None
+            return step_halo(cfg, carry, mesh, interpret, phi_hx=hx), None
 
         out, _ = jax.lax.scan(body, s, None, length=n, unroll=2)
+        if hx:
+            out = out._replace(phi=phi_from_psi_hx(cfg, out.phi))
         return out
 
     return jax.jit(run, in_shardings=(st_sh,), out_shardings=st_sh,

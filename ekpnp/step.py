@@ -86,7 +86,17 @@ def multi_step(cfg: Config, state: State, n: int) -> State:
     inputs — the buffers ping-pong A->B->A and the copies vanish, exactly
     the reference's f1/f2 pointer swap (main.cu:192) reborn as buffer
     assignment (measured: unroll=2 also beats a hand-written 2-step body
-    by ~3% at 256^3 and needs no odd-step epilogue)."""
+    by ~3% at 256^3 and needs no odd-step epilogue).
+
+    On the fused-kernel EK path the chunk carries phi in x-Hartley
+    encoding (encode once, decode once — pallas/step.py
+    multi_step_pallas_hx), removing both x-stages from the serial
+    spectral solve; state in and out is ordinary real phi either way."""
+    if cfg.run.use_pallas:
+        from .pallas.step import _phi_hx_capable, multi_step_pallas_hx
+
+        if _phi_hx_capable(cfg):
+            return multi_step_pallas_hx(cfg, state, n)
 
     def body(carry, _):
         new, _ = step(cfg, carry)

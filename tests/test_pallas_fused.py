@@ -187,3 +187,43 @@ def test_fused_supported_covers_reference_and_baseline_grids():
     assert fused_recommended(preset("ek-pnp"))
     assert fused_recommended(preset("ek-pnp-thermal"))
     assert fused_recommended(preset("pod"))
+
+
+def test_fused_phi_hx_chunk_matches_oracle():
+    """The x-Hartley-encoded multi-step chunk (phi carried as psi_hx across
+    steps, both x-stages on the kernel's MXU — multi_step_pallas_hx) must
+    equal the oracle step sequence: encode -> n hx steps -> decode is
+    algebraically identical to n plain steps."""
+    from ekpnp.pallas.step import multi_step_pallas_hx
+
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul")
+    state, _ = initialize(cfg)
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step(cfg, s_ref)
+    s_hx = multi_step_pallas_hx(cfg, state, 3, interpret=True)
+    for name in ("f", "h", "hn", "g", "phi"):
+        a, b = getattr(s_ref, name), getattr(s_hx, name)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13, err_msg=name
+        )
+
+
+def test_fused_phi_hx_chunk_d3q7_single_species():
+    from ekpnp.pallas.step import multi_step_pallas_hx
+
+    cfg = preset("ek-channel", nx=16, ny=8, nz=9, fft_method="matmul",
+                 scalar_lattice="D3Q7")
+    state, _ = initialize(cfg)
+    s_ref = state
+    for _ in range(2):
+        s_ref, _ = step(cfg, s_ref)
+    s_hx = multi_step_pallas_hx(cfg, state, 2, interpret=True)
+    for name in ("f", "h", "g", "phi"):
+        a, b = getattr(s_ref, name), getattr(s_hx, name)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13, err_msg=name
+        )

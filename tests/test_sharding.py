@@ -139,3 +139,32 @@ def test_halo_shardmap_single_species(eight_devices):
             np.asarray(getattr(s1, name)), np.asarray(getattr(s2, name)),
             rtol=1e-11, atol=1e-13, err_msg=name)
     assert s1.hn is None and s2.hn is None
+
+
+def test_halo_multi_step_hx_chunk_matches_single(eight_devices):
+    """The sharded multi-step chunk with x-Hartley-encoded phi carry
+    (make_halo_multi_step routing through step_halo phi_hx=True: encode
+    once, x-stage-free steps, decode once) must equal the single-device
+    fused step sequence."""
+    from ekpnp.parallel import halo as phalo
+    from ekpnp.pallas.step import _phi_hx_capable, step_pallas
+
+    cfg = preset("reference", nx=16, ny=32, nz=9, fft_method="matmul",
+                 use_pallas=True, scalar_lattice="D3Q7")
+    assert _phi_hx_capable(cfg, interpret=True)
+    state, _ = initialize(cfg)
+
+    s1 = state
+    for _ in range(3):
+        s1, _ = step_pallas(cfg, s1, interpret=True)
+
+    m = pmesh.make_mesh(eight_devices[:4], pencil=False)
+    s4 = pmesh.shard_state(cfg, m, state)
+    run = phalo.make_halo_multi_step(cfg, m, 3, interpret=True)
+    s4 = run(s4)
+
+    for name in ("f", "h", "hn", "g", "phi"):
+        a, b = getattr(s1, name), getattr(s4, name)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13, err_msg=name
+        )
