@@ -44,6 +44,10 @@ def main(argv=None):
                     "and merges into the same JSON line)")
     args = ap.parse_args(argv)
 
+    from ekpnp.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -241,7 +245,7 @@ def main(argv=None):
                "--dtype", args.dtype, "--no-parity-run"]
         try:
             proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=900,
+                cmd, capture_output=True, text=True, timeout=1800,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
             line = [l for l in proc.stdout.splitlines()
                     if l.startswith("{")][-1]

@@ -109,10 +109,28 @@ def fused_supported(cfg: Config) -> bool:
     for l in {cfg.lattice, cfg.scalar_lat}:
         if not all(int(l.OPP[i]) == i + 1 for i in range(1, l.Q, 2)):
             return False
+    return _auto_qs_ty(cfg, _padded_nx(g.nx, 128))[1] is not None
+
+
+def _auto_qs_ty(cfg: Config, nxp: int):
+    """(per-field direction counts, auto-picked TY) for this config."""
     nspec = (2 if cfg.physics.two_species else 1) if cfg.physics.enable_ek else 0
     nf = 1 + nspec + (1 if cfg.physics.enable_thermal else 0)
     qs = [cfg.lattice.Q] + [cfg.scalar_lat.Q] * (nf - 1)
-    return _pick_ty(cfg, qs, _padded_nx(g.nx, 128)) is not None
+    return qs, _pick_ty(cfg, qs, nxp)
+
+
+def hx_profitable(cfg: Config, interpret: bool = False) -> bool:
+    """Whether fusing the Poisson x-Hartley stages onto the kernel's MXU
+    pays for this config (the multi-step phi_hx chunk encoding, pallas/
+    step.py).  Measured on v5e at 256^3: TY=128 strips (D3Q7 scalars)
+    gain +2.7% end-to-end; the TY=64 all-D3Q27 parity config LOSES ~6%
+    (601.6 vs ~641 MLUPS) — the resident cas matrix and matmul
+    temporaries deepen the 4x27-field collide's register spills on
+    narrow strips.  Rule: wide strips only (TY >= 128)."""
+    g = cfg.grid
+    _, ty = _auto_qs_ty(cfg, _padded_nx(g.nx, 0 if interpret else 128))
+    return ty is not None and ty >= 128
 
 
 def fused_recommended(cfg: Config) -> bool:
@@ -205,24 +223,6 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
 
     ek = p.enable_ek
     thermal = p.enable_thermal
-    if hartley_x is None:
-        if phi_hx:
-            hartley_x = True
-        else:
-            import os
-
-            # EKPNP_HXRHS=0/1 overrides the auto choice (A/B probe knob)
-            env = os.environ.get("EKPNP_HXRHS")
-            hartley_x = (bool(int(env)) if env is not None
-                         else bool(ek) and NX == NXL
-                         and cfg.run.fft_method != "fft")
-            hartley_x = hartley_x and bool(ek) and NX == NXL
-    if hartley_x and (not ek or NX != NXL):
-        raise ValueError("hartley_x RHS emission needs EK on and an "
-                         "unpadded x axis (NX % lane tile == 0)")
-    if phi_hx and not hartley_x:
-        raise ValueError("phi_hx ingestion requires hartley_x emission "
-                         "(they share the resident cas matrix)")
     joule = p.joule if (p.enable_ek and p.enable_thermal) else 0.0
     # field layout: 0 = fluid, then the ion species (1 or 2 of them), then
     # temperature last.  Single-species (two_species=False): no hn field,
@@ -238,6 +238,31 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     TY = ty_override or _pick_ty(cfg, QS, NX)
     if TY is None or NY % TY or TY % 8:
         raise ValueError("no valid y-strip size (needs TY % 8 == 0 dividing NY)")
+
+    if hartley_x is None:
+        if phi_hx:
+            hartley_x = True
+        else:
+            import os
+
+            # EKPNP_HXRHS=0/1 overrides the auto choice (A/B probe knob).
+            # Measured auto rule: riding the x-Hartley stages on the
+            # kernel's MXU wins only on wide strips — TY=128 (D3Q7 coupled
+            # at 256^3) gains +2.7% (1368.7 vs 1332.9 MLUPS), but at the
+            # narrow TY=64 the all-D3Q27 parity config PAYS ~6% (601.6 vs
+            # ~641 MLUPS): the resident cas matrix + matmul temporaries
+            # deepen the 4x27-field collide's register spills.
+            env = os.environ.get("EKPNP_HXRHS")
+            hartley_x = (bool(int(env)) if env is not None
+                         else bool(ek) and NX == NXL
+                         and cfg.run.fft_method != "fft" and TY >= 128)
+            hartley_x = hartley_x and bool(ek) and NX == NXL
+    if hartley_x and (not ek or NX != NXL):
+        raise ValueError("hartley_x RHS emission needs EK on and an "
+                         "unpadded x axis (NX % lane tile == 0)")
+    if phi_hx and not hartley_x:
+        raise ValueError("phi_hx ingestion requires hartley_x emission "
+                         "(they share the resident cas matrix)")
     R = TY + 2           # logical rows [y0-1, y0+TY]
     # DMA window rows: [y0-8, y0+TY+8).  Only 1 row above the strip is ever
     # read for populations (ld_pop's highest row is TY+8) and 2 for phi

@@ -67,14 +67,19 @@ def step_pallas_hx(cfg: Config, state: State, mesh=None,
 def _phi_hx_capable(cfg: Config, interpret: bool = False) -> bool:
     import os
 
-    from .fused_step import _padded_nx, fused_supported
+    from .fused_step import _padded_nx, fused_supported, hx_profitable
 
-    if os.environ.get("EKPNP_PHIHX") == "0":  # A/B probe knob
+    env = os.environ.get("EKPNP_PHIHX")  # A/B probe knob
+    if env == "0":
         return False
     g = cfg.grid
-    return (cfg.physics.enable_ek and fused_supported(cfg)
-            and cfg.run.fft_method != "fft"
-            and _padded_nx(g.nx, 0 if interpret else 128) == g.nx)
+    ok = (cfg.physics.enable_ek and fused_supported(cfg)
+          and cfg.run.fft_method != "fft"
+          and _padded_nx(g.nx, 0 if interpret else 128) == g.nx)
+    # measured heuristic — x-stage fusion loses on narrow strips
+    # (fused_step.hx_profitable); EKPNP_PHIHX=1 forces it on.  Interpret
+    # mode (CPU equality tests) is capability-only: no perf gate.
+    return ok and (interpret or env == "1" or hx_profitable(cfg, interpret))
 
 
 @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))

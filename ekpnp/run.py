@@ -108,6 +108,9 @@ def cmd_info(args):
 
 
 def cmd_run(args):
+    from .compile_cache import enable as _enable_cache
+
+    _enable_cache()
     if args.platform:
         import jax
 

@@ -11,6 +11,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ekpnp.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 import jax
 import jax.numpy as jnp
 

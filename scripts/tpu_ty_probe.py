@@ -12,6 +12,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ekpnp.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 import jax
 import jax.numpy as jnp
 
@@ -24,9 +28,10 @@ from ekpnp.ops.poisson import poisson_phi_from_rhs
 
 def main():
     ty = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    scalars = sys.argv[2] if len(sys.argv) > 2 else "D3Q7"
     n = 256
     cfg = preset("reference", nx=n, ny=n, nz=n + 1, dtype="float32",
-                 fft_method="matmul", scalar_lattice="D3Q7")
+                 fft_method="matmul", scalar_lattice=scalars)
     dtype = jnp.float32
     shape = cfg.grid.shape
     macro = Macro(
@@ -45,7 +50,7 @@ def main():
     def steps(s, phi):
         for _ in range(2):
             f1, h1, hn1, g1, rhs = fused(s.f, s.h, s.hn, s.g, phi)
-            phi = poisson_phi_from_rhs(cfg, rhs, None)
+            phi = poisson_phi_from_rhs(cfg, rhs, None, rhs_hx=fused.hartley_x)
             s = s._replace(f=f1, h=h1, hn=hn1, g=g1, phi=phi)
         return s, phi
 

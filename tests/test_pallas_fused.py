@@ -189,6 +189,31 @@ def test_fused_supported_covers_reference_and_baseline_grids():
     assert fused_recommended(preset("pod"))
 
 
+def test_hx_fusion_profitability_gate(monkeypatch):
+    """The x-Hartley MXU fusion auto-enables on wide strips only
+    (TY >= 128): D3Q7 scalars at 256^3 pick TY=128 (+2.7% measured), the
+    all-D3Q27 parity config is VMEM-forced to TY=64 where the fusion
+    costs ~5% (601.6 vs 631.6 MLUPS, v5e r2) — so it must stay off
+    there.  EKPNP_PHIHX=1/0 force either way; interpret mode (CPU
+    equality tests) bypasses the perf gate."""
+    from ekpnp.pallas.fused_step import hx_profitable
+    from ekpnp.pallas.step import _phi_hx_capable
+
+    monkeypatch.delenv("EKPNP_PHIHX", raising=False)
+    big = dict(nx=256, ny=256, nz=257, dtype="float32", fft_method="matmul")
+    c7 = preset("reference", scalar_lattice="D3Q7", **big)
+    cs = preset("reference", scalar_lattice="same", **big)
+    assert hx_profitable(c7) and _phi_hx_capable(c7)
+    assert not hx_profitable(cs) and not _phi_hx_capable(cs)
+    # forcing knobs and the interpret-mode bypass
+    monkeypatch.setenv("EKPNP_PHIHX", "1")
+    assert _phi_hx_capable(cs)
+    monkeypatch.setenv("EKPNP_PHIHX", "0")
+    assert not _phi_hx_capable(c7)
+    monkeypatch.delenv("EKPNP_PHIHX")
+    assert _phi_hx_capable(cs, interpret=True)
+
+
 def test_fused_phi_hx_chunk_matches_oracle():
     """The x-Hartley-encoded multi-step chunk (phi carried as psi_hx across
     steps, both x-stages on the kernel's MXU — multi_step_pallas_hx) must
