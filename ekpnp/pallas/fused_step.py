@@ -120,14 +120,18 @@ def _auto_qs_ty(cfg: Config, nxp: int):
     return qs, _pick_ty(cfg, qs, nxp)
 
 
-def hx_profitable(cfg: Config, interpret: bool = False) -> bool:
-    """Whether fusing the Poisson x-Hartley stages onto the kernel's MXU
-    pays for this config (the multi-step phi_hx chunk encoding, pallas/
-    step.py).  Measured on v5e at 256^3: TY=128 strips (D3Q7 scalars)
-    gain +2.7% end-to-end; the TY=64 all-D3Q27 parity config LOSES ~6%
-    (601.6 vs ~641 MLUPS) — the resident cas matrix and matmul
-    temporaries deepen the 4x27-field collide's register spills on
-    narrow strips.  Rule: wide strips only (TY >= 128)."""
+def phi_hx_profitable(cfg: Config, interpret: bool = False) -> bool:
+    """Whether carrying phi x-Hartley-encoded across multi-step chunks
+    (pallas/step.py phi_hx) pays for this config.  The in-kernel decode
+    matmul runs synchronously right after each phi window's DMA wait —
+    ON the plane pipeline's critical path — so it only pays on wide
+    strips where the per-plane step is long enough to hide it.  Measured
+    on v5e at 256^3: TY=128 (D3Q7 scalars) the full fusion gains +2.7%
+    end-to-end (1368.7 vs 1332.9 MLUPS); at the TY=64 the all-D3Q27
+    parity config is VMEM-forced onto, adding the decode LOSES 7%
+    (601.6 vs 647.3 MLUPS with the async RHS emission alone — which wins
+    at every width and is always on, build_fused_step hartley_x).
+    Rule: wide strips only (TY >= 128)."""
     g = cfg.grid
     _, ty = _auto_qs_ty(cfg, _padded_nx(g.nx, 0 if interpret else 128))
     return ty is not None and ty >= 128
@@ -246,16 +250,16 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             import os
 
             # EKPNP_HXRHS=0/1 overrides the auto choice (A/B probe knob).
-            # Measured auto rule: riding the x-Hartley stages on the
-            # kernel's MXU wins only on wide strips — TY=128 (D3Q7 coupled
-            # at 256^3) gains +2.7% (1368.7 vs 1332.9 MLUPS), but at the
-            # narrow TY=64 the all-D3Q27 parity config PAYS ~6% (601.6 vs
-            # ~641 MLUPS): the resident cas matrix + matmul temporaries
-            # deepen the 4x27-field collide's register spills.
+            # The RHS emission rides an async store AFTER collide, off the
+            # critical path — measured a win at every strip width (256^3
+            # v5e: all-D3Q27 parity at TY=64 647.3 vs 638.0 MLUPS; part
+            # of the D3Q7 TY=128 +2.7%).  Only the phi_hx DECODE (which
+            # sits on the window DMA-wait critical path) is gated on wide
+            # strips — see phi_hx_profitable.
             env = os.environ.get("EKPNP_HXRHS")
             hartley_x = (bool(int(env)) if env is not None
                          else bool(ek) and NX == NXL
-                         and cfg.run.fft_method != "fft" and TY >= 128)
+                         and cfg.run.fft_method != "fft")
             hartley_x = hartley_x and bool(ek) and NX == NXL
     if hartley_x and (not ek or NX != NXL):
         raise ValueError("hartley_x RHS emission needs EK on and an "

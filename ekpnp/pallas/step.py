@@ -67,7 +67,7 @@ def step_pallas_hx(cfg: Config, state: State, mesh=None,
 def _phi_hx_capable(cfg: Config, interpret: bool = False) -> bool:
     import os
 
-    from .fused_step import _padded_nx, fused_supported, hx_profitable
+    from .fused_step import _padded_nx, fused_supported, phi_hx_profitable
 
     env = os.environ.get("EKPNP_PHIHX")  # A/B probe knob
     if env == "0":
@@ -76,10 +76,11 @@ def _phi_hx_capable(cfg: Config, interpret: bool = False) -> bool:
     ok = (cfg.physics.enable_ek and fused_supported(cfg)
           and cfg.run.fft_method != "fft"
           and _padded_nx(g.nx, 0 if interpret else 128) == g.nx)
-    # measured heuristic — x-stage fusion loses on narrow strips
-    # (fused_step.hx_profitable); EKPNP_PHIHX=1 forces it on.  Interpret
-    # mode (CPU equality tests) is capability-only: no perf gate.
-    return ok and (interpret or env == "1" or hx_profitable(cfg, interpret))
+    # measured heuristic — the phi decode loses on narrow strips
+    # (fused_step.phi_hx_profitable); EKPNP_PHIHX=1 forces it on.
+    # Interpret mode (CPU equality tests) is capability-only: no perf gate.
+    return ok and (interpret or env == "1"
+                   or phi_hx_profitable(cfg, interpret))
 
 
 @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))

@@ -190,21 +190,27 @@ def test_fused_supported_covers_reference_and_baseline_grids():
 
 
 def test_hx_fusion_profitability_gate(monkeypatch):
-    """The x-Hartley MXU fusion auto-enables on wide strips only
-    (TY >= 128): D3Q7 scalars at 256^3 pick TY=128 (+2.7% measured), the
-    all-D3Q27 parity config is VMEM-forced to TY=64 where the fusion
-    costs ~5% (601.6 vs 631.6 MLUPS, v5e r2) — so it must stay off
-    there.  EKPNP_PHIHX=1/0 force either way; interpret mode (CPU
+    """The async x-Hartley RHS emission (hartley_x) auto-enables at every
+    strip width — measured a win even on the all-D3Q27 parity config's
+    TY=64 (647.3 vs 638.0 MLUPS, 256^3 v5e) — but the phi_hx chunk
+    decode, which sits on the window DMA-wait critical path, pays only on
+    wide strips (TY >= 128: D3Q7 +2.7%; TY=64 parity -7%, 601.6 vs
+    647.3).  EKPNP_PHIHX=1/0 force either way; interpret mode (CPU
     equality tests) bypasses the perf gate."""
-    from ekpnp.pallas.fused_step import hx_profitable
+    from ekpnp.pallas.fused_step import build_fused_step, phi_hx_profitable
     from ekpnp.pallas.step import _phi_hx_capable
 
     monkeypatch.delenv("EKPNP_PHIHX", raising=False)
+    monkeypatch.delenv("EKPNP_HXRHS", raising=False)
     big = dict(nx=256, ny=256, nz=257, dtype="float32", fft_method="matmul")
     c7 = preset("reference", scalar_lattice="D3Q7", **big)
     cs = preset("reference", scalar_lattice="same", **big)
-    assert hx_profitable(c7) and _phi_hx_capable(c7)
-    assert not hx_profitable(cs) and not _phi_hx_capable(cs)
+    assert phi_hx_profitable(c7) and _phi_hx_capable(c7)
+    assert not phi_hx_profitable(cs) and not _phi_hx_capable(cs)
+    # hartley_x RHS emission auto-resolves ON for both (build only — the
+    # kernel is not traced here)
+    assert build_fused_step(c7, ty_override=128).hartley_x
+    assert build_fused_step(cs, ty_override=64).hartley_x
     # forcing knobs and the interpret-mode bypass
     monkeypatch.setenv("EKPNP_PHIHX", "1")
     assert _phi_hx_capable(cs)
@@ -212,6 +218,8 @@ def test_hx_fusion_profitability_gate(monkeypatch):
     assert not _phi_hx_capable(c7)
     monkeypatch.delenv("EKPNP_PHIHX")
     assert _phi_hx_capable(cs, interpret=True)
+    monkeypatch.setenv("EKPNP_HXRHS", "0")
+    assert not build_fused_step(cs, ty_override=64).hartley_x
 
 
 def test_fused_phi_hx_chunk_matches_oracle():
