@@ -13,8 +13,15 @@ minimum bytes-per-node-per-step:
   macro scalars (rho, u, c+, c-, T, phi w + E r)          ~  48 B
   Poisson transform passes over the NE-extended volume    ~ 128 B
 (c.f. the reference's own bandwidth accounting, main.cu:236-245, which
-counts only the fluid field.)  HBM_BW default 819e9 (TPU v5e); override
-with EKPNP_HBM_BW.
+counts only the fluid field.)  HBM_BW is detected from the device kind
+(_hbm_bandwidth below); override with EKPNP_HBM_BW.
+
+The judged number is the MEDIAN of --reps timed windows (default 5) and
+the line carries a "spread" field ((max-min)/median across windows): the
+remote-TPU tunnel and the shared chip make single-window numbers move a
+few percent run to run (the round-1 1350.8 vs round-2 1309.0 driver
+artifacts bracketed the same kernel), so one window is not a judgeable
+measurement.
 """
 import argparse
 import json
@@ -23,10 +30,43 @@ import sys
 import time
 
 
+def _hbm_bandwidth(dev) -> float:
+    """Peak HBM bandwidth [B/s] for this device kind (EKPNP_HBM_BW wins).
+
+    Public per-generation specs; the fallback is v5e's 819 GB/s with a
+    stderr note rather than a silently-wrong roofline on unknown chips."""
+    env = os.environ.get("EKPNP_HBM_BW")
+    if env:
+        return float(env)
+    kind = getattr(dev, "device_kind", "").lower()
+    for tag, bw in (
+        ("v6 lite", 1638e9), ("v6e", 1638e9),
+        ("v5 lite", 819e9), ("v5e", 819e9),
+        ("v5p", 2765e9),
+        ("v4", 1228e9),
+        ("v3", 900e9),
+        ("v2", 700e9),
+    ):
+        if tag in kind:
+            return bw
+    print(f"# unknown device kind {kind!r}: assuming v5e HBM BW 819 GB/s "
+          "(set EKPNP_HBM_BW)", file=sys.stderr)
+    return 819e9
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
 def main(argv=None):
+    t_start = time.perf_counter()
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=0, help="cubic grid edge (0 = auto)")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--reps", type=int, default=5,
+                    help="timed windows; the reported value is their median")
     ap.add_argument("--mode", choices=["coupled", "fluid", "poisson", "pbinit"],
                     default="coupled")
     ap.add_argument("--dtype", default="float32")
@@ -86,7 +126,7 @@ def main(argv=None):
                 raise
             # roofline: ~10 field-sized passes (rhs r, 3 fwd + 3 inv
             # transform stage r/w pairs counted once each, phi w) at HBM BW
-            hbm_bw = float(os.environ.get("EKPNP_HBM_BW", 819e9))
+            hbm_bw = _hbm_bandwidth(dev)
             dsize = jnp.dtype(args.dtype).itemsize
             vol_bytes = cfg.grid.num_nodes * dsize
             floor_ms = 10 * vol_bytes / hbm_bw * 1e3
@@ -185,13 +225,18 @@ def main(argv=None):
             state = multi_step(cfg, state, args.steps)
             float(jnp.sum(state.f[0, 0, 0]))
 
-            t0 = time.perf_counter()
-            state = multi_step(cfg, state, args.steps)
-            float(jnp.sum(state.f[0, 0, 0]))  # full sync
-            elapsed = time.perf_counter() - t0
-            per_step = elapsed / args.steps
+            windows = []
+            for _ in range(max(1, args.reps)):
+                t0 = time.perf_counter()
+                state = multi_step(cfg, state, args.steps)
+                float(jnp.sum(state.f[0, 0, 0]))  # full sync
+                windows.append(time.perf_counter() - t0)
+            med = _median(windows)
+            per_step = med / args.steps
             mlups = cfg.grid.num_nodes / per_step / 1e6
-            result = dict(n=n, per_step=per_step, mlups=mlups)
+            result = dict(n=n, per_step=per_step, mlups=mlups,
+                          spread=(max(windows) - min(windows)) / med,
+                          windows=len(windows))
             break
         except Exception as e:  # OOM at this size -> try smaller
             msg = str(e)
@@ -214,7 +259,7 @@ def main(argv=None):
     else:
         bytes_per_node = cfg.lattice.Q * 2 * dsize
         lat_tag = ""
-    hbm_bw = float(os.environ.get("EKPNP_HBM_BW", 819e9))
+    hbm_bw = _hbm_bandwidth(dev)
     roofline = hbm_bw / bytes_per_node / 1e6
     label = (
         f"MLUPS/chip full coupled EK-PNP-thermal step at {result['n']}^3 "
@@ -227,7 +272,30 @@ def main(argv=None):
         "value": round(result["mlups"], 1),
         "unit": "MLUPS",
         "vs_baseline": round(result["mlups"] / roofline, 4),
+        "spread": round(result["spread"], 4),
+        "windows": result["windows"],
     }
+
+    # Standalone spectral-solve cost in the judged line (BASELINE.md: FFT
+    # Poisson ms/step is first-class).  The full solve including both
+    # x-stages — comparable to the reference's fast_Poisson
+    # (poisson.cu:75-103); the production step hides part of this on the
+    # kernel's idle MXU (fused_step.py hartley_x/phi_hx).
+    if args.mode == "coupled" and ek:
+        from ekpnp.ops.poisson import poisson_phi_from_rhs
+
+        rhs = jnp.zeros((cfg.grid.nz - 2,) + cfg.grid.shape[1:], dtype)
+        solve = jax.jit(lambda r: poisson_phi_from_rhs(cfg, r, None))
+        p_ = solve(rhs)
+        float(jnp.sum(p_[0, 0]))
+        pt = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                p_ = solve(rhs)
+            float(jnp.sum(p_[0, 0]))
+            pt.append((time.perf_counter() - t0) / 10)
+        out["poisson_ms"] = round(_median(pt) * 1e3, 3)
 
     # Reference-parity companion number (round-2 verdict item 6): when the
     # headline runs the reduced-traffic D3Q7 scalar discretization, also
@@ -242,16 +310,26 @@ def main(argv=None):
         cmd = [sys.executable, "-m", "ekpnp", "bench",
                "--mode", "coupled", "--scalar-lattice", "same",
                "--size", str(result["n"]), "--steps", str(args.steps),
+               "--reps", str(args.reps),
                "--dtype", args.dtype, "--no-parity-run"]
+        # Deadline-aware: the driver kills bench.py at EKPNP_BENCH_BUDGET_S
+        # (1800 s); the headline line must print before that even when the
+        # parity variant compiles cold (~10 min through the tunnel), so the
+        # subprocess gets what is left of the budget minus a print margin.
+        budget = float(os.environ.get("EKPNP_BENCH_BUDGET_S", 1800.0))
+        t_left = budget - (time.perf_counter() - t_start) - 90.0
         try:
             proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=1800,
+                cmd, capture_output=True, text=True,
+                timeout=max(60.0, t_left),
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
             line = [l for l in proc.stdout.splitlines()
                     if l.startswith("{")][-1]
             parity = json.loads(line)
             out["ref_parity_all_d3q27_mlups"] = parity["value"]
             out["ref_parity_vs_roofline"] = parity["vs_baseline"]
+            if "spread" in parity:
+                out["ref_parity_spread"] = parity["spread"]
         except Exception as e:  # parity run is best-effort extra info
             print(f"# parity subbench failed: {e}", file=sys.stderr)
 

@@ -29,5 +29,8 @@ def enable() -> None:
 
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass  # old jax or read-only FS: run uncached
+    except Exception as e:  # old jax or read-only FS: run uncached
+        import sys
+
+        print(f"# ekpnp: compile cache at {d!r} unavailable ({e!r}); "
+              "expect long recompiles", file=sys.stderr)

@@ -164,12 +164,6 @@ def poisson_solve_dst(cfg: Config, charge, chargen, mesh=None):
     one fused spectral multiply, and the final z-stage matmul emits the
     wall rows (overwritten in one fused select with the exact plate
     values)."""
-    from ..parallel.fft import dst_z, dst_z_padded, fft2_xy, hartley2_xy
-
-    g = cfg.grid
-    p = cfg.physics
-    dtype = charge.dtype
-
     return poisson_phi_from_rhs(cfg, charge_rhs(cfg, charge, chargen), mesh)
 
 

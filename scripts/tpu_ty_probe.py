@@ -9,6 +9,7 @@ Run: python scripts/tpu_ty_probe.py [TY]
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,8 +30,10 @@ from ekpnp.ops.poisson import poisson_phi_from_rhs
 def main():
     ty = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     scalars = sys.argv[2] if len(sys.argv) > 2 else "D3Q7"
-    n = 256
-    cfg = preset("reference", nx=n, ny=n, nz=n + 1, dtype="float32",
+    cchunk = int(sys.argv[3]) if len(sys.argv) > 3 else -1
+    n = int(os.environ.get("EKPNP_PROBE_N", 256))
+    ny = int(os.environ.get("EKPNP_PROBE_NY", n))
+    cfg = preset("reference", nx=n, ny=ny, nz=n + 1, dtype="float32",
                  fft_method="matmul", scalar_lattice=scalars)
     dtype = jnp.float32
     shape = cfg.grid.shape
@@ -44,30 +47,36 @@ def main():
     state = state_from_macro(cfg, macro, jnp.zeros(shape, dtype),
                              jnp.zeros((3,) + shape, dtype), 0.0)
 
-    fused = _get_fused(cfg, "float32", False, ty, None)
+    fused = _get_fused(cfg, "float32", False, ty, None, cchunk=cchunk)
 
-    @jax.jit
-    def steps(s, phi):
+    # donated carry: the all-D3Q27 parity state is 7.2 GB at 256^3 — two
+    # live copies (undonated in+out) exceed the chip's 16 GB HBM
+    @partial(jax.jit, donate_argnums=(0,))
+    def steps(s):
         for _ in range(2):
-            f1, h1, hn1, g1, rhs = fused(s.f, s.h, s.hn, s.g, phi)
+            f1, h1, hn1, g1, rhs = fused(s.f, s.h, s.hn, s.g, s.phi)
             phi = poisson_phi_from_rhs(cfg, rhs, None, rhs_hx=fused.hartley_x)
             s = s._replace(f=f1, h=h1, hn=hn1, g=g1, phi=phi)
-        return s, phi
+        return s
 
-    print(f"TY={ty}: compiling...", flush=True)
+    tag = f"TY={ty} cchunk={cchunk} scalars={scalars} n={n} ny={ny}"
+    print(f"{tag}: compiling...", flush=True)
     t0 = time.perf_counter()
-    s, phi = steps(state, state.phi)
+    s = steps(state)
     float(jnp.sum(s.f[0, 0, 0]))
     print(f"  compile+2 steps: {time.perf_counter() - t0:.1f} s", flush=True)
 
     nrep = 15
-    t0 = time.perf_counter()
-    for _ in range(nrep):
-        s, phi = steps(s, phi)
-    float(jnp.sum(s.f[0, 0, 0]))
-    per = (time.perf_counter() - t0) / (2 * nrep)
-    mlups = cfg.grid.num_nodes / per / 1e6
-    print(f"  TY={ty}: {per * 1e3:.3f} ms/step, {mlups:.1f} MLUPS")
+    vals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(nrep):
+            s = steps(s)
+        float(jnp.sum(s.f[0, 0, 0]))
+        per = (time.perf_counter() - t0) / (2 * nrep)
+        vals.append(cfg.grid.num_nodes / per / 1e6)
+    vals.sort()
+    print(f"  {tag}: {vals[1]:.1f} MLUPS (median of 3: {vals})")
     return 0
 
 
