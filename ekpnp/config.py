@@ -94,6 +94,19 @@ class PhysicsConfig:
     two_species: bool = True      # False: single-species Nernst-Planck
                                   # (BASELINE config 2) — no (-) population;
                                   # chargen is identically zero
+    charge_bc: str = "noflux"     # ion wall BC at the plates:
+                                  # "noflux" (reference default, Yoshida
+                                  # localized scheme, LBM.cu:2102-2218) |
+                                  # "injection" (Dirichlet anti-bounce-back
+                                  # h1 = -h2_opp + 2 c_w w_i with the
+                                  # charge0/charge1[n] plate levels — the
+                                  # reference's commented-out ETHD injection
+                                  # regime, LBM.cu:2231-2292, the BC its
+                                  # dead constants LBM.h:57-58,81-83 exist
+                                  # for) | "zerograd-top" (zero-gradient
+                                  # outflow at the upper plate, noflux at
+                                  # the lower — LBM.cu:1929-1958, also
+                                  # commented out; oracle path only)
     joule: float = 0.0            # Joule-heating coefficient: adds a
                                   # volumetric source joule (c+ + c-) |E|^2
                                   # to the temperature field (extension

@@ -62,7 +62,7 @@ def bounce_back_walls(cfg: Config, f_post, f_pre):
     return f_post
 
 
-def scalar_wall_bcs(cfg: Config, streamed, post, which: str):
+def scalar_wall_bcs(cfg: Config, streamed, post, which: str, wall=None):
     """Post-stream wall BCs for the scalar-transport populations.
 
     which == "noflux":  Yoshida-2014 localized no-flux for the ion fields at
@@ -74,17 +74,37 @@ def scalar_wall_bcs(cfg: Config, streamed, post, which: str):
     (reference LBM.cu:2220-2413):
         z=0    : g_i = -g2_opp + 2 TH w_i   (including the rest population)
         z=NZ-1 : g_i = -g2_opp              (T = 0 wall)
+
+    which == "injection": charge Dirichlet anti-bounce-back — the
+    reference's commented-out ETHD injection regime (LBM.cu:2231-2292,
+    same algebra as the temperature BC with the plate charge levels):
+        z=0    : h_i = -h2_opp + 2 c_lo w_i   (including rest)
+        z=NZ-1 : h_i = -h2_opp + 2 c_hi w_i
+    `wall = (c_lo, c_hi)` carries the per-species plate levels
+    (charge0/charge1 for (+), charge0n/charge1n for (-), LBM.h:57-58,81-83).
+
+    which == "zerograd-top": no-flux at z=0; zero-gradient outflow at
+    z=NZ-1 — the post-collision wall plane was pre-copied from its
+    neighbor before streaming (reference LBM.cu:1929-1958, see ekpnp.step),
+    and the down-going directions at the wall (whose pull sources wrapped
+    periodically to z=0) are re-sourced from the copied ghost plane, i.e.
+    the post-collision neighbor values.
     """
     lat = cfg.scalar_lat  # these BCs apply only to scalar-transport fields
     dtype = streamed.dtype
     opp = jnp.asarray(lat.OPP)
     refl = post[opp]
 
-    if which == "noflux":
+    if which in ("noflux", "zerograd-top"):
         lower = refl[:, 0].at[0].set(streamed[0, 0])
-        upper = refl[:, -1].at[0].set(streamed[0, -1])
         out = streamed.at[:, 0].set(lower)
-        out = out.at[:, -1].set(upper)
+        if which == "noflux":
+            upper = refl[:, -1].at[0].set(streamed[0, -1])
+            out = out.at[:, -1].set(upper)
+        else:
+            down = jnp.asarray(lat.E[:, 2] == -1)[:, None, None]
+            out = out.at[:, -1].set(
+                jnp.where(down, post[:, -2], out[:, -1]))
         return out
 
     if which == "temperature":
@@ -92,6 +112,13 @@ def scalar_wall_bcs(cfg: Config, streamed, post, which: str):
         th = dtype.type(2.0 * cfg.physics.TH)
         out = streamed.at[:, 0].set(-refl[:, 0] + th * w)
         out = out.at[:, -1].set(-refl[:, -1])
+        return out
+
+    if which == "injection":
+        c_lo, c_hi = wall
+        w = jnp.asarray(lat.W, dtype)[:, None, None]
+        out = streamed.at[:, 0].set(-refl[:, 0] + dtype.type(2.0 * c_lo) * w)
+        out = out.at[:, -1].set(-refl[:, -1] + dtype.type(2.0 * c_hi) * w)
         return out
 
     raise ValueError(f"unknown wall BC {which!r}")

@@ -106,6 +106,8 @@ def fused_supported(cfg: Config) -> bool:
     g = cfg.grid
     if g.nz < 4 or g.ny % 8:
         return False
+    if cfg.physics.charge_bc not in ("noflux", "injection"):
+        return False  # zerograd-top runs the jnp oracle path
     for l in {cfg.lattice, cfg.scalar_lat}:
         if not all(int(l.OPP[i]) == i + 1 for i in range(1, l.Q, 2)):
             return False
@@ -137,6 +139,20 @@ def phi_hx_profitable(cfg: Config, interpret: bool = False) -> bool:
     return ty is not None and ty >= 128
 
 
+def auto_cchunk(cfg: Config, ty_override: int = 0) -> int:
+    """Default collide-segment height (build_fused_step cchunk) for this
+    config at this strip height.  Whole-plane collide (0) wins wherever
+    its temporaries fit VMEM — chunking exists to unlock strip heights
+    the whole-plane collide spills at: any TY above the conservative
+    whole-plane pick runs the collide in 64-row segments (v5e-measured:
+    the all-D3Q27 parity config at TY=128, see _pick_ty's spill note)."""
+    if not ty_override:
+        return 0
+    g = cfg.grid
+    qs, ty = _auto_qs_ty(cfg, _padded_nx(g.nx, 128))
+    return 64 if (ty is not None and ty_override > ty) else 0
+
+
 def fused_recommended(cfg: Config) -> bool:
     """fused_supported AND the grid is large enough for the kernel to win.
 
@@ -157,7 +173,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      ty_override: int = 0, halo: bool = False,
                      pad_x: Optional[int] = None,
                      hartley_x: Optional[bool] = None,
-                     phi_hx: bool = False):
+                     phi_hx: bool = False,
+                     cchunk: int = 0):
     """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).
 
     E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
@@ -194,6 +211,17 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     the multi-step scan loops encode once and decode once per compiled
     chunk (pallas/step.py).  Requires hartley_x.
 
+    cchunk: collide in row segments of this many rows instead of whole
+    (TY+2)-row planes.  The collide is pointwise per node (the only
+    cross-row read, the Ey stencil, comes straight from the phi window),
+    so segmentation changes nothing numerically — but it bounds the live
+    vector-register set to O(cchunk * NX), which is what forces the
+    all-D3Q27 parity configuration down to TY=64: at TY=128 the 4-field
+    whole-plane collide spills ~62 MB of temporaries into VMEM it does
+    not have.  Chunking trades that spill for re-running the (cheap,
+    VPU-side) moment/force prologue per segment; HBM traffic is
+    untouched.  0 = whole-plane (the measured-best choice where it fits).
+
     pad_x: lane-tile padding of the x axis.  Mosaic requires whole
     128-lane tiles for the window DMAs and lane rolls (every NX < 128
     failed remote compile round 1), so grids like the reference's own
@@ -226,6 +254,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         raise ValueError("fused kernel requires NY % 8 == 0")
 
     ek = p.enable_ek
+    if ek and p.charge_bc not in ("noflux", "injection"):
+        raise ValueError(f"fused kernel supports charge_bc noflux|injection, "
+                         f"not {p.charge_bc!r} (use the jnp oracle path)")
     thermal = p.enable_thermal
     joule = p.joule if (p.enable_ek and p.enable_thermal) else 0.0
     # field layout: 0 = fluid, then the ion species (1 or 2 of them), then
@@ -281,6 +312,14 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     WROWS = TY + HALO + HI_POP
     WROWS_PHI = TY + HALO + HI_PHI
     JY = NY // TY
+    chunked = 0 < cchunk < R
+    # collide row segments [r0, r0+n) of the R-row plane; multiples of 8
+    # so window reads stay in today's alignment class (offset 7 mod 8) and
+    # slot/cmom stores stay 8-row aligned — only the tail is odd
+    if chunked and cchunk % 8:
+        raise ValueError("cchunk must be a multiple of 8")
+    SEGS = ([(r0, min(cchunk, R - r0)) for r0 in range(0, R, cchunk)]
+            if chunked else [(0, R)])
 
     # ---- static lattice/physics constants -------------------------------
     ES = [[tuple(int(v) for v in l.E[d]) for d in range(l.Q)]
@@ -291,6 +330,11 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     E_ = ES[0]          # fluid aliases (wall BCs, fluid force, moments)
     W_ = WS[0]
     OPP = OPPS[0]
+    # f_pin holds only the ez = -1 fluid directions: the pinned pre-stream
+    # lower-wall plane is read exclusively as the z-wrap override source at
+    # the upper-wall emit (emit_wall), which streams downward dirs only
+    PIN_DIRS = [d for d in range(Q) if E_[d][2] == -1]
+    PIN_IDX = {d: i for i, d in enumerate(PIN_DIRS)}
     dt = p.dt(g.dx)
     cs2 = cfg.cs2
     cfl = p.cfl
@@ -339,10 +383,12 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         buf_in = refs[idx : idx + nf]; idx += nf
         buf_phi = refs[idx] if ek else None; idx += 1 if ek else 0
         slot_pop = refs[idx : idx + nf]; idx += nf
-        f_pin = refs[idx]; idx += 1
+        f_pin = refs[idx]; idx += 1                      # (9, R, NX)
         emit_pop = refs[idx : idx + nf]; idx += nf       # (2, 27, TY, NX)
         wall_buf = refs[idx]; idx += 1                   # (27, TY, NX)
         rhsb = refs[idx] if ek else None; idx += 1 if ek else 0
+        cmom_buf = refs[idx] if (ek and chunked) else None
+        idx += 1 if (ek and chunked) else 0              # (nspec, R, NX)
         sem_in = refs[idx]; idx += 1                     # (2, nf, 3)
         sem_phi = refs[idx] if ek else None; idx += 1 if ek else 0  # (4, 3)
         sem_emit = refs[idx]; idx += 1                   # (nf, 2)
@@ -489,11 +535,14 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         # a field\'s full 27-direction set live in VMEM.  (The earlier
         # all-fields-live formulation needed ~41 MB of compiler temporaries
         # at TY=128 — over VMEM together with the DMA windows.)
-        def ld_pop(k, in_slot, d):
-            """(R, NX) plane rows [y0-1, y0+TY] = window rows [7, TY+9)."""
-            return buf_in[k][in_slot, d, HALO - 1 : HALO - 1 + R, :]
+        def ld_pop(k, in_slot, d, r0=0, nrow=R):
+            """Plane rows [y0-1+r0, y0-1+r0+nrow) = window rows
+            [7+r0, 7+r0+nrow) — the whole [y0-1, y0+TY] plane by default,
+            one collide segment of it when chunked."""
+            return buf_in[k][in_slot, d,
+                             HALO - 1 + r0 : HALO - 1 + r0 + nrow, :]
 
-        def efield_planes(plane_s):
+        def efield_planes(plane_s, r0=0, nrow=R):
             """E = -grad(phi) on the collide rows, from the 4-slot phi
             window pipeline (reference gpu_efield + gpu_bc,
             poisson.cu:28-69): centered differences, periodic in x (lane
@@ -511,27 +560,28 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 sm = jax.lax.rem(jnp.int32(pm), four)
                 s0 = jax.lax.rem(jnp.int32(plane_s), four)
                 sp = jax.lax.rem(jnp.int32(pp), four)
-            phic = buf_phi[s0, HALO - 1 : HALO - 1 + R, :]
+            a = HALO - 1 + r0
+            phic = buf_phi[s0, a : a + nrow, :]
             # roll_x handles the padded-lane periodic wrap (pad_x)
             Ex = (roll_x(phic, 1) - roll_x(phic, -1)) * cst(0.5 / g.dx)
-            Ey = (buf_phi[s0, HALO - 2 : HALO - 2 + R, :]
-                  - buf_phi[s0, HALO : HALO + R, :]) * cst(0.5 / g.dy)
-            Ez = (buf_phi[sm, HALO - 1 : HALO - 1 + R, :]
-                  - buf_phi[sp, HALO - 1 : HALO - 1 + R, :]) * cst(0.5 / g.dz)
+            Ey = (buf_phi[s0, a - 1 : a - 1 + nrow, :]
+                  - buf_phi[s0, a + 1 : a + 1 + nrow, :]) * cst(0.5 / g.dy)
+            Ez = (buf_phi[sm, a : a + nrow, :]
+                  - buf_phi[sp, a : a + nrow, :]) * cst(0.5 / g.dz)
             return Ex, Ey, Ez
 
-        def field_moment0(k, in_slot):
-            acc = ld_pop(k, in_slot, 0)
+        def field_moment0(k, in_slot, r0=0, nrow=R):
+            acc = ld_pop(k, in_slot, 0, r0, nrow)
             for d in range(1, QS[k]):
-                acc = acc + ld_pop(k, in_slot, d)
+                acc = acc + ld_pop(k, in_slot, d, r0, nrow)
             return acc
 
-        def fluid_moments(in_slot):
+        def fluid_moments(in_slot, r0=0, nrow=R):
             """rho and the three raw momenta in one accumulator pass."""
-            rho = ld_pop(0, in_slot, 0)
+            rho = ld_pop(0, in_slot, 0, r0, nrow)
             mom = [None, None, None]
             for d in range(1, Q):
-                v = ld_pop(0, in_slot, d)
+                v = ld_pop(0, in_slot, d, r0, nrow)
                 rho = rho + v
                 for a in range(3):
                     e = E_[d][a]
@@ -552,7 +602,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             return acc
 
         def trt_store(k, in_slot, slot, m, vx, vy, vz, op_dt, om_dt,
-                      fluid_force=None, iso_src=None):
+                      fluid_force=None, iso_src=None, r0=0, nrow=R):
             """TRT collision in even/odd pair space, one pair at a time,
             stored into slot_pop as soon as computed.
 
@@ -568,6 +618,12 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             All lattice constants are field k's: the scalar fields may run
             a smaller lattice (D3Q7) with its own weights and sound speed.
             """
+            def st(d, val):
+                if nrow == R:
+                    slot_pop[k][slot, d] = val
+                else:
+                    slot_pop[k][slot, d, r0 : r0 + nrow] = val
+
             Ek, Wk = ES[k], WS[k]
             ics2_k = inv_cs2_k[k]
             tsc_k = t_scale_k[k]
@@ -596,18 +652,18 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 ck = cst(inv_cfl * inv_cfl * ics2_k)
 
             # rest direction: even only
-            p0 = ld_pop(k, in_slot, 0)
+            p0 = ld_pop(k, in_slot, 0, r0, nrow)
             e0 = cst(Wk[0]) * m * omusq
             o0 = p0 - cst(op_dt) * (p0 - e0)
             if fluid_force is not None:
                 o0 = o0 + cst(dt * s_plus * Wk[0] * ics2_k) * (-udotF)
             if iso_src is not None:
                 o0 = o0 + iso_of(Wk[0])
-            slot_pop[k][slot, 0] = o0
+            st(0, o0)
 
             for i, jd in PAIRS_K[k]:
-                pi = ld_pop(k, in_slot, i)
-                pj = ld_pop(k, in_slot, jd)
+                pi = ld_pop(k, in_slot, i, r0, nrow)
+                pj = ld_pop(k, in_slot, jd, r0, nrow)
                 t = edot(Ek[i], tx, ty_, tz)
                 coeff = w2m[Wk[i]]
                 ep2 = coeff * (omusq + 0.5 * (t * t))
@@ -628,8 +684,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                     iso = iso_of(Wk[i])
                     oi = oi + iso
                     oj = oj + iso
-                slot_pop[k][slot, i] = oi
-                slot_pop[k][slot, jd] = oj
+                st(i, oi)
+                st(jd, oj)
 
         def reflect_store(k, in_slot, slot, with_wall_term):
             """Bounce-back of the raw input populations straight into
@@ -648,17 +704,37 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 in_slot = plane_s % 2
             else:
                 in_slot = jax.lax.rem(jnp.int32(plane_s), jnp.int32(2))
-            rho, mxr, myr, mzr = fluid_moments(in_slot)
+            wall = is_lower_wall or is_upper_wall
+            if wall:
+                reflect_store(0, in_slot, slot, with_wall_term=is_upper_wall)
+            rhs_c = [None, None]  # unchunked: full-plane ion moments
+            for si, (r0, nrow) in enumerate(SEGS):
+                _collide_seg(plane_s, slot, in_slot, si, r0, nrow,
+                             u_override, numer_out, wall, rhs_c)
+            if ek:
+                _emit_rhs(plane_s, rhs_c)
+
+        def _collide_seg(plane_s, slot, in_slot, si, r0, nrow,
+                         u_override, numer_out, wall, rhs_c):
+            rho, mxr, myr, mzr = fluid_moments(in_slot, r0, nrow)
             inv_rho = 1.0 / rho
             if ek:
-                c = field_moment0(1, in_slot)
-                cn = field_moment0(2, in_slot) if nspec == 2 else None
+                c = field_moment0(1, in_slot, r0, nrow)
+                cn = field_moment0(2, in_slot, r0, nrow) if nspec == 2 else None
+                if chunked:
+                    # stage the ion moments for the rhs emission after the
+                    # segment loop (the emission slices rows [1, TY+1))
+                    cmom_buf[0, r0 : r0 + nrow] = c
+                    if nspec == 2:
+                        cmom_buf[1, r0 : r0 + nrow] = cn
+                else:
+                    rhs_c[0], rhs_c[1] = c, cn
             if thermal:
-                T = field_moment0(nf - 1, in_slot)
+                T = field_moment0(nf - 1, in_slot, r0, nrow)
 
             # body force (LBM.cu:632-637)
             if ek:
-                Ex, Ey, Ez = efield_planes(plane_s)
+                Ex, Ey, Ez = efield_planes(plane_s, r0, nrow)
                 q = cst(kappa) * ((c - cn) if nspec == 2 else c)
                 fx = q * (Ex + cst(p.ext_field)) + cst(p.exf)
                 fy = q * Ey
@@ -676,12 +752,38 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             ny_ = myr * cst(inv_cfl) + cst(0.5 * dt) * fy
             nz_ = mzr * cst(inv_cfl) + cst(0.5 * dt) * fz
             if numer_out is not None:
-                numer_out.extend([nx_, ny_, nz_])
+                numer_out.append((nx_, ny_, nz_))
             if u_override is not None:
-                ux, uy, uz = u_override(inv_rho)
+                ux, uy, uz = u_override(inv_rho, si)
             else:
                 ux, uy, uz = nx_ * inv_rho, ny_ * inv_rho, nz_ * inv_rho
 
+            if not wall:
+                trt_store(0, in_slot, slot, rho, ux, uy, uz, *om_p["f"],
+                          fluid_force=(ux, uy, uz, fx, fy, fz),
+                          r0=r0, nrow=nrow)
+
+            if ek:
+                trt_store(1, in_slot, slot, c, ux + cst(p.K) * Ex,
+                          uy + cst(p.K) * Ey, uz + cst(p.K) * Ez,
+                          *om_p["h"], r0=r0, nrow=nrow)
+                if nspec == 2:
+                    trt_store(2, in_slot, slot, cn, ux + cst(p.Kn) * Ex,
+                              uy + cst(p.Kn) * Ey, uz + cst(p.Kn) * Ez,
+                              *om_p["hn"], r0=r0, nrow=nrow)
+            if thermal:
+                # Joule-heating extension (BASELINE config 4): volumetric
+                # source joule (c+ + c-) |E|^2 into the temperature field,
+                # matching the jnp oracle (ops/collide.py); 0 = reference
+                # parity (the reference has buoyancy only, LBM.cu:632-637).
+                Ssrc = None
+                if joule != 0.0:
+                    csum = (c + cn) if nspec == 2 else c
+                    Ssrc = (cst(joule) * csum) * (Ex * Ex + Ey * Ey + Ez * Ez)
+                trt_store(nf - 1, in_slot, slot, T, ux, uy, uz, *om_p["g"],
+                          iso_src=Ssrc, r0=r0, nrow=nrow)
+
+        def _emit_rhs(plane_s, rhs_c):
             # Poisson RHS out: -convertCtoCharge (c+ - c-)/eps from the
             # pre-collision moments (odd_extension interior rows,
             # poisson.cu:118-137) — the spectral solve consumes it with no
@@ -693,8 +795,13 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             # serialize every plane step (measured ~7 ms/step at 256^3).
             if ek:
                 def rhs_tile():
-                    val = ((cn[1 : TY + 1] - c[1 : TY + 1])
-                           if nspec == 2 else -c[1 : TY + 1]) \
+                    if chunked:
+                        c_ = cmom_buf[0, 1 : TY + 1]
+                        cn_ = cmom_buf[1, 1 : TY + 1] if nspec == 2 else None
+                    else:
+                        c_ = rhs_c[0][1 : TY + 1]
+                        cn_ = rhs_c[1][1 : TY + 1] if nspec == 2 else None
+                    val = ((cn_ - c_) if nspec == 2 else -c_) \
                         * cst(kappa / p.eps)
                     if hartley_x:
                         # forward x-Hartley on the otherwise-idle MXU (the
@@ -730,31 +837,6 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                             rhsb.at[cb],
                             out_rhs.at[plane_s - 1, pl.ds(y0, TY), :],
                             sem_cmom.at[cb]).start()
-
-            if is_lower_wall or is_upper_wall:
-                reflect_store(0, in_slot, slot, with_wall_term=is_upper_wall)
-            else:
-                trt_store(0, in_slot, slot, rho, ux, uy, uz, *om_p["f"],
-                          fluid_force=(ux, uy, uz, fx, fy, fz))
-
-            if ek:
-                trt_store(1, in_slot, slot, c, ux + cst(p.K) * Ex,
-                          uy + cst(p.K) * Ey, uz + cst(p.K) * Ez, *om_p["h"])
-                if nspec == 2:
-                    trt_store(2, in_slot, slot, cn, ux + cst(p.Kn) * Ex,
-                              uy + cst(p.Kn) * Ey, uz + cst(p.Kn) * Ez,
-                              *om_p["hn"])
-            if thermal:
-                # Joule-heating extension (BASELINE config 4): volumetric
-                # source joule (c+ + c-) |E|^2 into the temperature field,
-                # matching the jnp oracle (ops/collide.py); 0 = reference
-                # parity (the reference has buoyancy only, LBM.cu:632-637).
-                Ssrc = None
-                if joule != 0.0:
-                    csum = (c + cn) if nspec == 2 else c
-                    Ssrc = (cst(joule) * csum) * (Ex * Ex + Ey * Ey + Ez * Ez)
-                trt_store(nf - 1, in_slot, slot, T, ux, uy, uz, *om_p["g"],
-                          iso_src=Ssrc)
 
         # ------------------------------------------------ emit
         def roll_x(val, ex):
@@ -832,15 +914,16 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                         sem_wall.at[0])
                     cp_.start(); cp_.wait()
 
-        def emit_wall(e, slot_e, f_src_for_down=None, f_dirs=None):
+        def emit_wall(e, slot_e, f_src_for_down=False, f_dirs=None):
             """Wall-plane emit (reference gpu_bc_charge semantics):
-            fluid streams (f_src_for_down overrides the z-wrap source for
-            ez=-1), ions reflect, temperature anti-bounces."""
+            fluid streams (f_src_for_down=True overrides the z-wrap source
+            for ez=-1 with the pinned pre-stream lower-wall plane f_pin),
+            ions reflect, temperature anti-bounces."""
             dirs = list(range(Q)) if f_dirs is None else f_dirs
             for d in dirs:
                 ez = E_[d][2]
-                if ez == -1 and f_src_for_down is not None:
-                    full = f_src_for_down[d]
+                if ez == -1 and f_src_for_down:
+                    full = f_pin[PIN_IDX[d]]
                     val = roll_x(
                         jax.lax.slice_in_dim(full, 1 - E_[d][1], 1 - E_[d][1] + TY, axis=0),
                         E_[d][0])
@@ -850,10 +933,20 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             wall_dma(0, e, None if f_dirs is None else dirs)
 
             if ek:
+                # noflux: reflected post-collision opposites (d=0 maps to
+                # itself = the streamed rest, Yoshida LBM.cu:2102-2218);
+                # injection: anti-bounce-back to the plate charge level
+                # (the reference's commented ETHD regime, LBM.cu:2231-2292)
+                inj = p.charge_bc == "injection"
+                cws = ((p.charge0, p.charge0n) if e == 0
+                       else (p.charge1, p.charge1n))
                 for k in range(1, 1 + nspec):
                     for d in range(QS[k]):
                         full = slot_pop[k][slot_e, OPPS[k][d]]
-                        wall_buf[d] = jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
+                        v = jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)
+                        if inj:
+                            v = -v + cst(2.0 * cws[k - 1] * WS[k][d])
+                        wall_buf[d] = v
                     wall_dma(k, e)
             if thermal:
                 k = nf - 1
@@ -884,16 +977,16 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             wait_phi(2)
             numer1 = []
             collide_plane(1, 1, numer_out=numer1)
-            nx1, ny1, nz1 = numer1
 
-            def wall_u(inv_rho0):
+            def wall_u(inv_rho0, si):
+                nx1, ny1, nz1 = numer1[si]
                 return (-nx1 * inv_rho0, -ny1 * inv_rho0, -nz1 * inv_rho0)
 
             collide_plane(0, 0, u_override=wall_u, is_lower_wall=True)
             start_in(2)
             start_phi(3)
-            for d in range(Q):
-                f_pin[d] = slot_pop[0][0, d]
+            for i, d in enumerate(PIN_DIRS):
+                f_pin[i] = slot_pop[0][0, d]
 
         @pl.when((s >= 2) & (s < NZ))
         def _():
@@ -938,7 +1031,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                     rhsb.at[plane % 2],
                     out_rhs.at[plane - 1, pl.ds(y0, TY), :],
                     sem_cmom.at[plane % 2]).wait()
-            emit_wall(NZ - 1, slot_e=(NZ - 1) % 3, f_src_for_down=f_pin)
+            emit_wall(NZ - 1, slot_e=(NZ - 1) % 3, f_src_for_down=True)
             slot_top = (NZ - 1) % 3
             up_dirs = [d for d in range(Q) if E_[d][2] == 1]
             for d in up_dirs:
@@ -967,12 +1060,14 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         scratch.append(pltpu.VMEM((4, WROWS_PHI, NX), dtype))  # phi windows
     for q in QS:
         scratch.append(pltpu.VMEM((3, q, R, NX), dtype))       # post slots
-    scratch.append(pltpu.VMEM((Q, R, NX), dtype))              # f_pin
+    scratch.append(pltpu.VMEM((len(PIN_DIRS), R, NX), dtype))  # f_pin
     for q in QS:
         scratch.append(pltpu.VMEM((2, q, TY, NX), dtype))      # emit dbl-buf
     scratch.append(pltpu.VMEM((QMAX, TY, NX), dtype))          # wall buf
     if ek:
         scratch.append(pltpu.VMEM((2, TY, NX), dtype))         # rhs dbl-buf
+        if chunked:
+            scratch.append(pltpu.VMEM((nspec, R, NX), dtype))  # cmom staging
     scratch.append(pltpu.SemaphoreType.DMA((2, nf, 3)))        # sem_in
     if ek:
         scratch.append(pltpu.SemaphoreType.DMA((4, 3)))        # sem_phi

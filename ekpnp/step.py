@@ -26,7 +26,6 @@ from .state import Macro, State
 
 
 def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[State, Macro]:
-    p_ = cfg.physics
     if cfg.run.use_pallas and not perturb:
         from .pallas.step import step_pallas
 
@@ -47,11 +46,34 @@ def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[S
     phi = state.phi
 
     if p.enable_ek:
-        h1 = stream(lat_s, post.h)
-        h1 = scalar_wall_bcs(cfg, h1, post.h, "noflux")
-        if post.hn is not None:
-            hn1 = stream(lat_s, post.hn)
-            hn1 = scalar_wall_bcs(cfg, hn1, post.hn, "noflux")
+        cbc = p.charge_bc
+        post_h, post_hn = post.h, post.hn
+        if cbc == "zerograd-top":
+            # zero charge gradient at the upper plate: the post-collision
+            # wall plane is replaced by its interior neighbor BEFORE
+            # streaming (the reference's commented-out variant sits inside
+            # gpu_boundary, i.e. pre-stream, LBM.cu:1929-1958); streaming
+            # then pulls the copied values and the post-stream wall fix
+            # applies at the lower plate only
+            post_h = post_h.at[:, -1].set(post_h[:, -2])
+            if post_hn is not None:
+                post_hn = post_hn.at[:, -1].set(post_hn[:, -2])
+
+        def ion_bcs(streamed, post_k, wall):
+            if cbc == "noflux":
+                return scalar_wall_bcs(cfg, streamed, post_k, "noflux")
+            if cbc == "injection":
+                return scalar_wall_bcs(cfg, streamed, post_k, "injection",
+                                       wall=wall)
+            if cbc == "zerograd-top":
+                return scalar_wall_bcs(cfg, streamed, post_k, "zerograd-top")
+            raise ValueError(f"unknown charge_bc {cbc!r}")
+
+        h1 = ion_bcs(stream(lat_s, post_h), post_h,
+                     (p.charge0, p.charge1))
+        if post_hn is not None:
+            hn1 = ion_bcs(stream(lat_s, post_hn), post_hn,
+                          (p.charge0n, p.charge1n))
         phi = poisson_phi(cfg, macro.charge, macro.chargen, mesh)
 
     if p.enable_thermal:

@@ -14,14 +14,14 @@ from ekpnp.pallas.step import step_pallas
 from ekpnp.step import step
 
 
-def _compare(cfg, steps=2, ty=0, atol_E=1e-8, pad_x=None):
+def _compare(cfg, steps=2, ty=0, atol_E=1e-8, pad_x=None, cchunk=-1):
     state, _ = initialize(cfg)
     s_ref = state
     s_pal = state
     for _ in range(steps):
         s_ref, _ = step(cfg, s_ref)
         s_pal, _ = step_pallas(cfg, s_pal, interpret=True, ty_override=ty,
-                               pad_x=pad_x)
+                               pad_x=pad_x, cchunk=cchunk)
     for name in ("f", "h", "hn", "g", "phi"):
         a, b = getattr(s_ref, name), getattr(s_pal, name)
         if a is None:
@@ -134,6 +134,59 @@ def test_fused_joule_single_species():
     cfg = preset("ek-channel", nx=16, ny=8, nz=9, fft_method="matmul",
                  joule=1.0e4)
     _compare(cfg, steps=2)
+
+
+def test_fused_injection_bc():
+    # charge-injection Dirichlet anti-bounce-back at both plates
+    # (reference LBM.cu:2231-2292) through the fused kernel vs the oracle
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul",
+                 charge_bc="injection")
+    _compare(cfg, steps=3)
+
+
+def test_fused_injection_bc_single_species_d3q7():
+    cfg = preset("ek-channel", nx=16, ny=8, nz=9, fft_method="matmul",
+                 scalar_lattice="D3Q7", charge_bc="injection")
+    _compare(cfg, steps=3)
+
+
+# ---------------------------------------------------------------------------
+# Chunked collide (round-3 verdict item 1): the collide runs in row
+# segments (build_fused_step cchunk) to bound vector-register pressure at
+# wide strips; pointwise per node, so any segmentation must be exactly the
+# whole-plane result.  cchunk=8 on TY=16/24 strips exercises multi-segment
+# plus odd-tail (R = TY+2 -> segments 8,8,2 / 8,8,8,2) on every field
+# combination the parity config uses.
+# ---------------------------------------------------------------------------
+
+def test_fused_chunked_collide_full_coupled():
+    cfg = preset("reference", nx=16, ny=16, nz=9, fft_method="matmul")
+    _compare(cfg, ty=16, cchunk=8)
+
+
+def test_fused_chunked_collide_multi_strip():
+    # chunked segments together with the first/interior/last DMA cases and
+    # the wall-plane u_override coupling (plane 1 -> plane 0, per segment)
+    cfg = preset("reference", nx=16, ny=48, nz=9, fft_method="matmul")
+    _compare(cfg, ty=24, cchunk=8, steps=3)
+
+
+def test_fused_chunked_collide_d3q7_scalars():
+    cfg = preset("reference", nx=16, ny=16, nz=9, fft_method="matmul",
+                 scalar_lattice="D3Q7")
+    _compare(cfg, ty=16, cchunk=8)
+
+
+def test_fused_chunked_single_species_joule():
+    cfg = preset("ek-channel", nx=16, ny=16, nz=9, fft_method="matmul",
+                 joule=1.0e4)
+    _compare(cfg, ty=16, cchunk=8)
+
+
+def test_fused_chunked_fluid_moving_wall():
+    cfg = preset("reference", nx=16, ny=16, nz=9, enable_ek=False,
+                 enable_thermal=False, uw=0.5)
+    _compare(cfg, ty=16, cchunk=8, steps=3)
 
 
 # ---------------------------------------------------------------------------

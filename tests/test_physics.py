@@ -297,6 +297,79 @@ def test_charge_diffusion_decay():
     assert float(jnp.abs(macro1.u).max()) < 1e-12
 
 
+def test_injection_bc_dirichlet_profile():
+    """Charge-injection Dirichlet walls (reference's commented-out ETHD
+    injection BC, LBM.cu:2231-2292): with charge-neutral species (equal
+    plate levels for + and -, so E = 0 and migration vanishes) the ion
+    fields see pure diffusion between Dirichlet plates and must relax to
+    the linear profile anchored at the plate levels charge0 (z=0) and
+    charge1 (z=NZ-1) — the anti-bounce-back scheme imposes the value at
+    the wall node, exactly like its temperature twin (LBM.cu:2220-2349,
+    validated by test_thermal_conduction_steady_state)."""
+    c_lo, c_hi = 0.02, 0.01
+    cfg = preset("reference", nx=8, ny=8, nz=17, ext_field=0.0,
+                 enable_thermal=False, charge_bc="injection",
+                 voltage=0.0, voltage2=0.0, diffu=2e-7, diffun=2e-7,
+                 charge0=c_lo, charge1=c_hi, charge0n=c_lo, charge1n=c_hi)
+    g = cfg.grid
+    state, _ = initialize(cfg)   # uniform chargeinf start, neutral
+    state = multi_step(cfg, state, 1200)
+    macro, _ = compute_macro(cfg, state)
+
+    def prof(s, field):
+        return np.asarray(jnp.sum(field(s), axis=0)).mean(axis=(1, 2))
+
+    cz = prof(state, lambda s: s.h)
+    lin = c_lo + (c_hi - c_lo) * np.arange(g.nz) / (g.nz - 1)
+    # Interior rows hold an exactly-linear profile whose extrapolation to
+    # the plates recovers the imposed levels to ~1% (the scheme has the
+    # usual relaxation-dependent wall slip of ~0.1 cell per plate — the
+    # same artifact family as bounce-back's wall offset).  The wall NODES
+    # themselves carry a period-2 parity artifact of full-way
+    # anti-bounce-back (the node value alternates around the imposed
+    # level; steady only if the run starts ON the level, as the
+    # reference's T init does) — which is why the reference never reads
+    # wall nodes and extrapolates them for every output (LBM.cu:2527-2542);
+    # two successive steps average to the imposed level exactly.
+    z = np.arange(g.nz)
+    for czi in (cz, prof(state, lambda s: s.hn)):
+        slope, icpt = np.polyfit(z[1:-1], czi[1:-1], 1)
+        fit = icpt + slope * z
+        np.testing.assert_allclose(czi[1:-1], fit[1:-1], rtol=1e-4)
+        np.testing.assert_allclose(fit[0], c_lo, rtol=1e-2)
+        np.testing.assert_allclose(fit[-1], c_hi, rtol=1e-2)
+    np.testing.assert_allclose(cz[1:-1], lin[1:-1], rtol=2e-2)
+    state2 = multi_step(cfg, state, 1)
+    cz2 = prof(state2, lambda s: s.h)
+    np.testing.assert_allclose(0.5 * (cz[0] + cz2[0]), c_lo, rtol=1e-6)
+    np.testing.assert_allclose(0.5 * (cz[-1] + cz2[-1]), c_hi, rtol=1e-6)
+    # neutrality kept E = 0 and the fluid quiescent
+    assert float(jnp.abs(macro.u).max()) < 1e-12
+
+
+def test_zerograd_top_bc():
+    """Zero-gradient outflow at the upper plate (reference LBM.cu:1929-1958,
+    commented out): the pre-stream neighbor-plane copy keeps the wall-normal
+    charge gradient zero at the top while the lower plate stays no-flux —
+    an initial double-layer profile relaxes toward uniform with the top two
+    planes pinned together."""
+    cfg = preset("reference", nx=8, ny=4, nz=17, ext_field=0.0,
+                 enable_thermal=False, charge_bc="zerograd-top",
+                 diffu=2e-7, diffun=2e-7)
+    state, _ = initialize(cfg)   # PB init: double layer at both plates
+    state = multi_step(cfg, state, 400)
+    c = np.asarray(jnp.sum(state.h, axis=0))
+    # wall-normal gradient vanishes at the top plate (the pre-stream copy
+    # enforces it to the discrete scheme's accuracy while the profile is
+    # still relaxing) and stays far below the interior scale
+    np.testing.assert_allclose(c[-1], c[-2], rtol=1e-2)
+    grad_top = np.abs(c[-1] - c[-2]).mean()
+    grad_mid = np.abs(c[2] - c[1]).mean()
+    assert grad_top < 0.2 * grad_mid
+    for leaf in jax.tree_util.tree_leaves(state):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_electroosmotic_flow_profile():
     """Electro-osmosis (SURVEY.md §4.2): the external field Ext acting on
     the PB-initialized double layer drives plug-like flow.  Two checks:
