@@ -174,7 +174,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      pad_x: Optional[int] = None,
                      hartley_x: Optional[bool] = None,
                      phi_hx: bool = False,
-                     cchunk: int = 0):
+                     cchunk: int = 0,
+                     emit_group: int = 0):
     """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).
 
     E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
@@ -221,6 +222,19 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     not have.  Chunking trades that spill for re-running the (cheap,
     VPU-side) moment/force prologue per segment; HBM traffic is
     untouched.  0 = whole-plane (the measured-best choice where it fits).
+
+    emit_group: emit the interior planes in direction groups of this many
+    rows through ONE (2, emit_group, TY, NX) buffer shared by all fields,
+    instead of the per-field (2, q, TY, NX) double buffers.  The per-field
+    buffers cost 2 x sum(q) x TY x NX floats (27 MB at the all-D3Q27
+    parity TY=128) purely to let every DMA complete two plane steps later;
+    the shared group buffer costs ~2 MB and each group's copy is waited
+    right before its slot is refilled — the copies still overlap the
+    following groups' compute, so the pipeline bubble is one group DMA at
+    most.  The static fill schedule is identical every plane step, so the
+    wait descriptors (which must match the issuing copy's shape) are
+    resolved at trace time.  0 = whole-field double buffers (measured
+    fastest wherever VMEM allows).
 
     pad_x: lane-tile padding of the x axis.  Mosaic requires whole
     128-lane tiles for the window DMAs and lane rolls (every NX < 128
@@ -313,6 +327,13 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     WROWS_PHI = TY + HALO + HI_PHI
     JY = NY // TY
     chunked = 0 < cchunk < R
+    EG = emit_group
+    if EG:
+        # static fill schedule: (field, first dir, group length) — the
+        # same every plane step, so wait descriptors resolve at trace time
+        FILLS = [(k, d0, min(EG, QS[k] - d0))
+                 for k in range(nf) for d0 in range(0, QS[k], EG)]
+        FN = len(FILLS)
     # collide row segments [r0, r0+n) of the R-row plane; multiples of 8
     # so window reads stay in today's alignment class (offset 7 mod 8) and
     # slot/cmom stores stay 8-row aligned — only the tail is odd
@@ -384,7 +405,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         buf_phi = refs[idx] if ek else None; idx += 1 if ek else 0
         slot_pop = refs[idx : idx + nf]; idx += nf
         f_pin = refs[idx]; idx += 1                      # (9, R, NX)
-        emit_pop = refs[idx : idx + nf]; idx += nf       # (2, 27, TY, NX)
+        if EG:
+            emit_grp = refs[idx]; idx += 1               # (2, EG, TY, NX)
+        else:
+            emit_pop = refs[idx : idx + nf]; idx += nf   # (2, 27, TY, NX)
         wall_buf = refs[idx]; idx += 1                   # (27, TY, NX)
         rhsb = refs[idx] if ek else None; idx += 1 if ek else 0
         cmom_buf = refs[idx] if (ek and chunked) else None
@@ -875,9 +899,35 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 emit_pop[k].at[b], out_pop[k].at[:, e, pl.ds(y0, TY), :],
                 sem_emit.at[k, b])
 
+        def grp_copy(fill_i, e_expr):
+            k, d0, gl = FILLS[fill_i]
+            return pltpu.make_async_copy(
+                emit_grp.at[fill_i % 2, pl.ds(0, gl)],
+                out_pop[k].at[pl.ds(d0, gl), e_expr, pl.ds(y0, TY), :],
+                sem_emit.at[fill_i % 2])
+
         def emit_interior(step):
-            """Async double-buffered emit of plane e = step-1."""
+            """Emit plane e = step-1.  Whole-field double-buffer mode:
+            async, drained two steps later.  Grouped mode (EG): each slot's
+            previous copy is waited right before refill — the wait
+            descriptor (same shape as the issuing copy) comes from the
+            static fill schedule; the first two fills of the z-sweep
+            (step == 2) have nothing to wait on."""
             e = step - 1
+            if EG:
+                for i, (k, d0, gl) in enumerate(FILLS):
+                    if i >= 2:
+                        grp_copy(i - 2, e).wait()
+                    else:
+                        j = FN - 1 if (FN - 1) % 2 == i % 2 else FN - 2
+
+                        @pl.when(step > 2)
+                        def _(j=j):
+                            grp_copy(j, e - 1).wait()
+                    for t in range(gl):
+                        emit_grp[i % 2, t] = streamed_dir(k, d0 + t, e)
+                    grp_copy(i, e).start()
+                return
             b = jax.lax.rem(jnp.int32(step), jnp.int32(2))
 
             # drain the DMA issued from this parity two steps ago
@@ -894,6 +944,14 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         def drain_interior(step):
             """Wait any interior emit issued at `step` (if it was one)."""
             if step < 2 or step > NZ - 1:
+                return
+            if EG:
+                # only the z-sweep's last two fills can still be in flight
+                # (each slot's copy is waited before the slot is refilled)
+                if step == NZ - 1:
+                    for i in (FN - 2, FN - 1):
+                        if i >= 0:
+                            grp_copy(i, NZ - 2).wait()
                 return
             b = step % 2
             for k in range(nf):
@@ -1061,8 +1119,11 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     for q in QS:
         scratch.append(pltpu.VMEM((3, q, R, NX), dtype))       # post slots
     scratch.append(pltpu.VMEM((len(PIN_DIRS), R, NX), dtype))  # f_pin
-    for q in QS:
-        scratch.append(pltpu.VMEM((2, q, TY, NX), dtype))      # emit dbl-buf
+    if EG:
+        scratch.append(pltpu.VMEM((2, EG, TY, NX), dtype))     # shared emit
+    else:
+        for q in QS:
+            scratch.append(pltpu.VMEM((2, q, TY, NX), dtype))  # emit dbl-buf
     scratch.append(pltpu.VMEM((QMAX, TY, NX), dtype))          # wall buf
     if ek:
         scratch.append(pltpu.VMEM((2, TY, NX), dtype))         # rhs dbl-buf
@@ -1071,7 +1132,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     scratch.append(pltpu.SemaphoreType.DMA((2, nf, 3)))        # sem_in
     if ek:
         scratch.append(pltpu.SemaphoreType.DMA((4, 3)))        # sem_phi
-    scratch.append(pltpu.SemaphoreType.DMA((nf, 2)))           # sem_emit
+    scratch.append(pltpu.SemaphoreType.DMA((2,) if EG else (nf, 2)))  # sem_emit
     scratch.append(pltpu.SemaphoreType.DMA((2,)))              # sem_wall
     if ek:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))          # sem_cmom

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Compile-prove + time the halo=True fused kernel on the real chip
+(round-3 verdict item 6): a 1-device ("y",) mesh exercises the exact
+multi-chip shard_map + ppermute + halo-block window DMA plumbing
+(parallel/halo.py, pallas/fused_step.py halo=True) COMPILED by Mosaic —
+round 1 proved Mosaic rejects constructs interpret mode accepts, and until
+now every halo-path test ran interpret on CPU.
+
+Checks: (a) the kernel compiles and runs, (b) 10 steps equal the plain
+single-chip fused path to f32 roundoff, (c) a timed MLUPS number bounds
+the shard_map + halo-exchange overhead vs the plain kernel.
+
+Run: python scripts/tpu_halo_compile.py [N=128]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ekpnp.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ekpnp import preset
+from ekpnp.init import state_from_macro
+from ekpnp.parallel.halo import make_halo_multi_step
+from ekpnp.state import Macro
+from ekpnp.step import multi_step
+
+
+def _init(cfg):
+    dtype = jnp.float32
+    shape = cfg.grid.shape
+    macro = Macro(
+        rho=jnp.full(shape, 1000.0, dtype),
+        u=jnp.zeros((3,) + shape, dtype),
+        charge=jnp.full(shape, 0.01, dtype),
+        chargen=jnp.full(shape, 0.01, dtype),
+        temp=jnp.full(shape, 0.5, dtype),
+    )
+    return state_from_macro(cfg, macro, jnp.zeros(shape, dtype),
+                            jnp.zeros((3,) + shape, dtype), 0.0)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    steps = 10
+    import dataclasses
+
+    cfg = preset("reference", nx=n, ny=n, nz=n + 1, dtype="float32",
+                 fft_method="matmul", scalar_lattice="D3Q7")
+    cfg_p = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, use_pallas=True))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("y",))
+
+    # plain single-chip fused path (the oracle here: already
+    # oracle-equality-tested against the jnp path)
+    s0 = _init(cfg)
+    ref = multi_step(cfg_p, _init(cfg), steps)
+    ref_f = np.asarray(ref.f[0, :, :, 0])
+    ref_phi = np.asarray(ref.phi)
+    t0 = time.perf_counter()
+    ref = multi_step(cfg_p, ref, steps)
+    float(jnp.sum(ref.f[0, 0, 0]))
+    t_plain = time.perf_counter() - t0
+    del ref
+
+    run = make_halo_multi_step(cfg, mesh, steps)
+    t0 = time.perf_counter()
+    out = run(s0)
+    float(jnp.sum(out.f[0, 0, 0]))
+    print(f"halo kernel COMPILED + ran on real chip "
+          f"({time.perf_counter() - t0:.1f} s incl. compile)", flush=True)
+
+    err_f = np.abs(np.asarray(out.f[0, :, :, 0]) - ref_f).max() / \
+        np.abs(ref_f).max()
+    err_phi = np.abs(np.asarray(out.phi) - ref_phi).max() / \
+        max(np.abs(ref_phi).max(), 1e-30)
+    print(f"halo vs plain after {steps} steps: rel err f={err_f:.2e} "
+          f"phi={err_phi:.2e}", flush=True)
+
+    t0 = time.perf_counter()
+    out = run(out)
+    float(jnp.sum(out.f[0, 0, 0]))
+    t_halo = time.perf_counter() - t0
+
+    mlups_h = cfg.grid.num_nodes * steps / t_halo / 1e6
+    mlups_p = cfg.grid.num_nodes * steps / t_plain / 1e6
+    print(f"plain fused: {mlups_p:.1f} MLUPS   halo(1-dev shard_map): "
+          f"{mlups_h:.1f} MLUPS   overhead {100 * (t_halo / t_plain - 1):.1f}%")
+    ok = err_f < 1e-5 and err_phi < 1e-4
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,14 +14,16 @@ from ekpnp.pallas.step import step_pallas
 from ekpnp.step import step
 
 
-def _compare(cfg, steps=2, ty=0, atol_E=1e-8, pad_x=None, cchunk=-1):
+def _compare(cfg, steps=2, ty=0, atol_E=1e-8, pad_x=None, cchunk=-1,
+             emit_group=0):
     state, _ = initialize(cfg)
     s_ref = state
     s_pal = state
     for _ in range(steps):
         s_ref, _ = step(cfg, s_ref)
         s_pal, _ = step_pallas(cfg, s_pal, interpret=True, ty_override=ty,
-                               pad_x=pad_x, cchunk=cchunk)
+                               pad_x=pad_x, cchunk=cchunk,
+                               emit_group=emit_group)
     for name in ("f", "h", "hn", "g", "phi"):
         a, b = getattr(s_ref, name), getattr(s_pal, name)
         if a is None:
@@ -187,6 +189,35 @@ def test_fused_chunked_fluid_moving_wall():
     cfg = preset("reference", nx=16, ny=16, nz=9, enable_ek=False,
                  enable_thermal=False, uw=0.5)
     _compare(cfg, ty=16, cchunk=8, steps=3)
+
+
+# ---------------------------------------------------------------------------
+# Grouped emit (build_fused_step emit_group): one shared (2, EG, TY, NX)
+# buffer replaces the per-field emit double buffers — saves ~25 MB at the
+# parity TY=128.  Equality across multi-group (EG < Q), odd-tail groups
+# (27 = 3x8 + 3), multi-strip, and together with chunked collide.
+# ---------------------------------------------------------------------------
+
+def test_fused_grouped_emit_full_coupled():
+    cfg = preset("reference", nx=16, ny=16, nz=9, fft_method="matmul")
+    _compare(cfg, ty=16, emit_group=8, steps=3)
+
+
+def test_fused_grouped_emit_multi_strip_chunked():
+    cfg = preset("reference", nx=16, ny=48, nz=9, fft_method="matmul")
+    _compare(cfg, ty=24, cchunk=8, emit_group=8, steps=3)
+
+
+def test_fused_grouped_emit_d3q7():
+    cfg = preset("reference", nx=16, ny=16, nz=9, fft_method="matmul",
+                 scalar_lattice="D3Q7")
+    _compare(cfg, ty=16, emit_group=4, steps=2)
+
+
+def test_fused_grouped_emit_fluid_only():
+    cfg = preset("reference", nx=16, ny=8, nz=9, enable_ek=False,
+                 enable_thermal=False, exf=1.0e6)
+    _compare(cfg, emit_group=16, steps=3)
 
 
 # ---------------------------------------------------------------------------
