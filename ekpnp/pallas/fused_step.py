@@ -75,7 +75,25 @@ def _pick_ty(cfg, qs, nxp=None, vmem_budget=64 * 1024 * 1024):
     coupled kernel lands on TY=64 — measured faster than any spilling
     TY=128 variant.  `qs` is the per-field direction count (the scalar
     fields may run a smaller lattice than the fluid); `nxp` the padded
-    x width the kernel arrays carry (defaults to grid nx)."""
+    x width the kernel arrays carry (defaults to grid nx).
+
+    Round-3 measured dead end — lifting the all-D3Q27 parity config to
+    TY=128 (256^3 v5e, f32, vs 637.1 MLUPS at this TY=64 pick):
+      whole-plane collide, per-field emit   VMEM 139.2M > 128M (no run)
+      cchunk=32 whole-field emit            VMEM 142.2M > 128M (no run)
+      cchunk=64 + emit_group=8  (ES=2)      473.0 MLUPS  (-26%)
+      cchunk=64 + emit_group=27 (ES=2)      524.4 MLUPS  (-18%)
+      cchunk=96 + emit_group=27 (ES=2)      518.8 MLUPS  (-19%)
+      emit_group=27 at TY=64 (control)      633.9 MLUPS  (par: the
+        grouped emit itself is free — the TY=128 loss is the chunked
+        collide + VMEM-starved DMA scheduling at 125M/128M occupancy)
+    Model ceiling at TY=128 = (TY amplification win) x (measured ~91%
+    HBM utilization) ~= 674 MLUPS — below the 88%-of-roofline bar even
+    before the measured chunking cost, so TY=64 whole-plane remains the
+    parity production point.  SURVEY 7.3's two-pass field split (f+g /
+    h+hn) is strictly dominated on paper: pass-2 re-reads both ion
+    windows and the passes exchange u/q planes, +28% HBM traffic ->
+    <=72% of roofline at perfect utilization."""
     g = cfg.grid
     nx = nxp or g.nx
     for ty in (128, 64, 32, 16, 8):
@@ -175,7 +193,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      hartley_x: Optional[bool] = None,
                      phi_hx: bool = False,
                      cchunk: int = 0,
-                     emit_group: int = 0):
+                     emit_group: int = 0,
+                     emit_slots: int = 2):
     """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).
 
     E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
@@ -334,6 +353,11 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         FILLS = [(k, d0, min(EG, QS[k] - d0))
                  for k in range(nf) for d0 in range(0, QS[k], EG)]
         FN = len(FILLS)
+        # emit_slots deep rotation: each slot's copy is waited ESL fills
+        # after issue, so larger ES buys DMA slack (ES covering a whole
+        # plane's fills ~ the old per-field double buffer) at ESL x the
+        # buffer cost
+        ESL = min(emit_slots, FN)
     # collide row segments [r0, r0+n) of the R-row plane; multiples of 8
     # so window reads stay in today's alignment class (offset 7 mod 8) and
     # slot/cmom stores stay 8-row aligned — only the tail is odd
@@ -406,7 +430,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         slot_pop = refs[idx : idx + nf]; idx += nf
         f_pin = refs[idx]; idx += 1                      # (9, R, NX)
         if EG:
-            emit_grp = refs[idx]; idx += 1               # (2, EG, TY, NX)
+            emit_grp = refs[idx]; idx += 1               # (ES, EG, TY, NX)
         else:
             emit_pop = refs[idx : idx + nf]; idx += nf   # (2, 27, TY, NX)
         wall_buf = refs[idx]; idx += 1                   # (27, TY, NX)
@@ -902,9 +926,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         def grp_copy(fill_i, e_expr):
             k, d0, gl = FILLS[fill_i]
             return pltpu.make_async_copy(
-                emit_grp.at[fill_i % 2, pl.ds(0, gl)],
+                emit_grp.at[fill_i % ESL, pl.ds(0, gl)],
                 out_pop[k].at[pl.ds(d0, gl), e_expr, pl.ds(y0, TY), :],
-                sem_emit.at[fill_i % 2])
+                sem_emit.at[fill_i % ESL])
 
         def emit_interior(step):
             """Emit plane e = step-1.  Whole-field double-buffer mode:
@@ -916,16 +940,17 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             e = step - 1
             if EG:
                 for i, (k, d0, gl) in enumerate(FILLS):
-                    if i >= 2:
-                        grp_copy(i - 2, e).wait()
+                    if i >= ESL:
+                        grp_copy(i - ESL, e).wait()
                     else:
-                        j = FN - 1 if (FN - 1) % 2 == i % 2 else FN - 2
+                        # previous plane's last fill on this slot
+                        j = FN - 1 - ((FN - 1 - i) % ESL)
 
                         @pl.when(step > 2)
                         def _(j=j):
                             grp_copy(j, e - 1).wait()
                     for t in range(gl):
-                        emit_grp[i % 2, t] = streamed_dir(k, d0 + t, e)
+                        emit_grp[i % ESL, t] = streamed_dir(k, d0 + t, e)
                     grp_copy(i, e).start()
                 return
             b = jax.lax.rem(jnp.int32(step), jnp.int32(2))
@@ -946,12 +971,11 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             if step < 2 or step > NZ - 1:
                 return
             if EG:
-                # only the z-sweep's last two fills can still be in flight
+                # only the z-sweep's last ESL fills can still be in flight
                 # (each slot's copy is waited before the slot is refilled)
                 if step == NZ - 1:
-                    for i in (FN - 2, FN - 1):
-                        if i >= 0:
-                            grp_copy(i, NZ - 2).wait()
+                    for i in range(max(0, FN - ESL), FN):
+                        grp_copy(i, NZ - 2).wait()
                 return
             b = step % 2
             for k in range(nf):
@@ -1120,7 +1144,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         scratch.append(pltpu.VMEM((3, q, R, NX), dtype))       # post slots
     scratch.append(pltpu.VMEM((len(PIN_DIRS), R, NX), dtype))  # f_pin
     if EG:
-        scratch.append(pltpu.VMEM((2, EG, TY, NX), dtype))     # shared emit
+        scratch.append(pltpu.VMEM((ESL, EG, TY, NX), dtype))   # shared emit
     else:
         for q in QS:
             scratch.append(pltpu.VMEM((2, q, TY, NX), dtype))  # emit dbl-buf
@@ -1132,7 +1156,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     scratch.append(pltpu.SemaphoreType.DMA((2, nf, 3)))        # sem_in
     if ek:
         scratch.append(pltpu.SemaphoreType.DMA((4, 3)))        # sem_phi
-    scratch.append(pltpu.SemaphoreType.DMA((2,) if EG else (nf, 2)))  # sem_emit
+    scratch.append(pltpu.SemaphoreType.DMA((ESL,) if EG else (nf, 2)))  # sem_emit
     scratch.append(pltpu.SemaphoreType.DMA((2,)))              # sem_wall
     if ek:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))          # sem_cmom

@@ -20,25 +20,27 @@ from .fused_step import auto_cchunk, build_fused_step
 @lru_cache(maxsize=None)
 def _get_fused(cfg: Config, dtype_name: str, interpret: bool, ty: int,
                pad_x, phi_hx: bool = False, cchunk: int = -1,
-               emit_group: int = 0):
+               emit_group: int = 0, emit_slots: int = 2):
     if cchunk < 0:
         cchunk = auto_cchunk(cfg, ty)
     return build_fused_step(
         cfg, dtype=jnp.dtype(dtype_name), interpret=interpret, ty_override=ty,
         pad_x=pad_x, phi_hx=phi_hx, cchunk=cchunk, emit_group=emit_group,
+        emit_slots=emit_slots,
     )
 
 
 def step_pallas(cfg: Config, state: State, mesh=None, interpret: bool = False,
                 ty_override: int = 0, pad_x=None, cchunk: int = -1,
-                emit_group: int = 0):
+                emit_group: int = 0, emit_slots: int = 2):
     """One fused timestep.  Returns (state', rhs) — the kernel-emitted
     interior Poisson-RHS planes (z = 1..NZ-2) from this step's
     pre-collision ion moments (what the reference stores in collide and
     feeds to fast_Poisson)."""
     p = cfg.physics
     fused = _get_fused(cfg, state.f.dtype.name, interpret, ty_override, pad_x,
-                       cchunk=cchunk, emit_group=emit_group)
+                       cchunk=cchunk, emit_group=emit_group,
+                       emit_slots=emit_slots)
     f1, h1, hn1, g1, rhs = fused(state.f, state.h, state.hn, state.g, state.phi)
     phi = state.phi
     if p.enable_ek:

@@ -32,6 +32,7 @@ def main():
     scalars = sys.argv[2] if len(sys.argv) > 2 else "D3Q7"
     cchunk = int(sys.argv[3]) if len(sys.argv) > 3 else -1
     eg = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    es = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     n = int(os.environ.get("EKPNP_PROBE_N", 256))
     ny = int(os.environ.get("EKPNP_PROBE_NY", n))
     cfg = preset("reference", nx=n, ny=ny, nz=n + 1, dtype="float32",
@@ -49,7 +50,7 @@ def main():
                              jnp.zeros((3,) + shape, dtype), 0.0)
 
     fused = _get_fused(cfg, "float32", False, ty, None, cchunk=cchunk,
-                       emit_group=eg)
+                       emit_group=eg, emit_slots=es)
 
     # donated carry: the all-D3Q27 parity state is 7.2 GB at 256^3 — two
     # live copies (undonated in+out) exceed the chip's 16 GB HBM
@@ -61,7 +62,8 @@ def main():
             s = s._replace(f=f1, h=h1, hn=hn1, g=g1, phi=phi)
         return s
 
-    tag = f"TY={ty} cchunk={cchunk} eg={eg} scalars={scalars} n={n} ny={ny}"
+    tag = (f"TY={ty} cchunk={cchunk} eg={eg} es={es} scalars={scalars} "
+           f"n={n} ny={ny}")
     print(f"{tag}: compiling...", flush=True)
     t0 = time.perf_counter()
     s = steps(state)

@@ -220,6 +220,25 @@ def test_fused_grouped_emit_fluid_only():
     _compare(cfg, emit_group=16, steps=3)
 
 
+def test_fused_grouped_emit_three_slots():
+    # deeper slot rotation (emit_slots=3, whole-field groups): more DMA
+    # slack per VMEM byte; FN=4 fills with ES=3 exercises the
+    # non-divisible cross-plane slot mapping
+    cfg = preset("reference", nx=16, ny=16, nz=9, fft_method="matmul")
+    state, _ = initialize(cfg)
+    s_ref = state
+    s_pal = state
+    for _ in range(3):
+        s_ref, _ = step(cfg, s_ref)
+        s_pal, _ = step_pallas(cfg, s_pal, interpret=True, ty_override=16,
+                               emit_group=27, emit_slots=3)
+    import numpy as np
+    for name in ("f", "h", "hn", "g", "phi"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_ref, name)), np.asarray(getattr(s_pal, name)),
+            rtol=1e-11, atol=1e-13, err_msg=name)
+
+
 # ---------------------------------------------------------------------------
 # Padded-NX path (round-2 verdict item 1): widths that are not whole lane
 # tiles run the kernel on a padded array with the periodic x-wrap done by
