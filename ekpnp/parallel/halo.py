@@ -20,6 +20,21 @@ Only y is ever sharded here: z carries the wall physics and the DST
 (everything stays chip-local), and x is the TPU lane dimension.  Pencil
 (y, x) meshes take the GSPMD oracle path.
 
+Per-shard perf gates use the LOCAL grid: make_halo_multi_step evaluates
+_phi_hx_capable on the shard's ny_local, so sharding 256^3 over 2+ chips
+(ny_local <= 128... TY < 128 at 4+) disables the phi_hx chunk encoding on
+exactly the strips where the round-3 TY-cliff measurements
+(scripts/tpu_ty_probe.py: 1292/1129/855/598 MLUPS at TY=64/32/16/8 vs
+1368.7 at TY=128) show the per-plane step is too short to hide the
+decode matmul — the same rule the single-chip gate encodes
+(fused_step.phi_hx_profitable).  The round-2 MULTICHIP/SCALING records
+were functional CPU-mesh runs, not perf numbers, so no recorded figure
+depended on the gate's state.
+
+This halo=True kernel variant is compile-proven on real hardware:
+scripts/tpu_halo_compile.py (1-device ('y',) mesh) compiles under Mosaic
+and reproduces the plain fused path bit-exactly (round-3).
+
 The kernel-side halo blocks are 8 rows deep (DMA sources must start on
 8-row tile boundaries, pallas/fused_step.py), but the kernel only ever
 reads the physics rows adjacent to the shard edge: window row 7 of the lo

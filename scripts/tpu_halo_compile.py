@@ -65,12 +65,6 @@ def main():
     ref = multi_step(cfg_p, _init(cfg), steps)
     ref_f = np.asarray(ref.f[0, :, :, 0])
     ref_phi = np.asarray(ref.phi)
-    nrep = 12
-    t0 = time.perf_counter()
-    for _ in range(nrep):
-        ref = multi_step(cfg_p, ref, steps)
-    float(jnp.sum(ref.f[0, 0, 0]))
-    t_plain = (time.perf_counter() - t0) / nrep
     del ref
 
     run = make_halo_multi_step(cfg, mesh, steps)
@@ -87,14 +81,22 @@ def main():
     print(f"halo vs plain after {steps} steps: rel err f={err_f:.2e} "
           f"phi={err_phi:.2e}", flush=True)
 
-    t0 = time.perf_counter()
-    for _ in range(nrep):
-        out = run(out)
-    float(jnp.sum(out.f[0, 0, 0]))
-    t_halo = (time.perf_counter() - t0) / nrep
+    def timed(fn, s, nrep=10):
+        s = fn(s)  # dispatch-path warm (donating input)
+        best = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(nrep):
+                s = fn(s)
+            float(jnp.sum(s.f[0, 0, 0]))
+            best.append((time.perf_counter() - t0) / (nrep * steps))
+        return sorted(best)[1], s
 
-    mlups_h = cfg.grid.num_nodes * steps / t_halo / 1e6
-    mlups_p = cfg.grid.num_nodes * steps / t_plain / 1e6
+    t_halo, out = timed(run, out)
+    t_plain, _ = timed(lambda s: multi_step(cfg_p, s, steps), _init(cfg))
+
+    mlups_h = cfg.grid.num_nodes / t_halo / 1e6
+    mlups_p = cfg.grid.num_nodes / t_plain / 1e6
     print(f"plain fused: {mlups_p:.1f} MLUPS   halo(1-dev shard_map): "
           f"{mlups_h:.1f} MLUPS   overhead {100 * (t_halo / t_plain - 1):.1f}%")
     ok = err_f < 1e-5 and err_phi < 1e-4
