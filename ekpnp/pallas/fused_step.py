@@ -93,7 +93,16 @@ def _pick_ty(cfg, qs, nxp=None, vmem_budget=64 * 1024 * 1024):
     parity production point.  SURVEY 7.3's two-pass field split (f+g /
     h+hn) is strictly dominated on paper: pass-2 re-reads both ion
     windows and the passes exchange u/q planes, +28% HBM traffic ->
-    <=72% of roofline at perfect utilization."""
+    <=72% of roofline at perfect utilization.
+
+    The same machinery was probed on the D3Q7 headline at TY=256 (JY=1,
+    wrap-only halo, amplification 1.0625 vs 1.125): chunking now makes it
+    COMPILE (round 1's Mosaic crash gone) but
+      cchunk=128, per-field emit       1189.2 MLUPS  (chunk cost ~11%)
+      cchunk=128, emit_group=27 ES=3   1027.5 MLUPS
+    vs ~1332 at whole-plane TY=128 (1365-1369 with phi_hx) — the ~5%
+    amplification win cannot pay the ~11% chunk cost, so TY=128
+    whole-plane stays the headline production point too."""
     g = cfg.grid
     nx = nxp or g.nx
     for ty in (128, 64, 32, 16, 8):

@@ -95,6 +95,29 @@ def test_halo_shardmap_matches_single_pallas(eight_devices):
         )
 
 
+def test_halo_shardmap_injection_bc(eight_devices):
+    """The charge-injection Dirichlet BC (reference LBM.cu:2231-2292)
+    through the shard_map halo path equals the single-device fused step —
+    the wall anti-bounce-back happens per shard inside emit_wall."""
+    from ekpnp.parallel import halo as phalo
+    from ekpnp.pallas.step import step_pallas
+
+    cfg = preset("reference", nx=16, ny=32, nz=9, fft_method="matmul",
+                 use_pallas=True, charge_bc="injection")
+    state, _ = initialize(cfg)
+    s1 = state
+    for _ in range(2):
+        s1, _ = step_pallas(cfg, s1, interpret=True)
+    m = pmesh.make_mesh(eight_devices[:4], pencil=False)
+    s4 = pmesh.shard_state(cfg, m, state)
+    for _ in range(2):
+        s4 = phalo.step_halo(cfg, s4, m, interpret=True)
+    for name in ("f", "h", "hn", "phi"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)), np.asarray(getattr(s4, name)),
+            rtol=1e-11, atol=1e-13, err_msg=name)
+
+
 def test_halo_shardmap_d3q7_scalars(eight_devices):
     """Mixed per-field lattices (D3Q27 fluid + D3Q7 scalars) through the
     shard_map halo path: the exchanged halo blocks have per-field
