@@ -318,20 +318,36 @@ def main(argv=None):
         # subprocess gets what is left of the budget minus a print margin.
         budget = float(os.environ.get("EKPNP_BENCH_BUDGET_S", 1800.0))
         t_left = budget - (time.perf_counter() - t_start) - 90.0
-        try:
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True,
-                timeout=max(60.0, t_left),
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-            line = [l for l in proc.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            parity = json.loads(line)
-            out["ref_parity_all_d3q27_mlups"] = parity["value"]
-            out["ref_parity_vs_roofline"] = parity["vs_baseline"]
-            if "spread" in parity:
-                out["ref_parity_spread"] = parity["spread"]
-        except Exception as e:  # parity run is best-effort extra info
-            print(f"# parity subbench failed: {e}", file=sys.stderr)
+        if t_left < 60.0:
+            # Not enough budget left for any useful parity window; running
+            # anyway would push the headline JSON print past the driver's
+            # kill.  Skip entirely (round-3 advisor finding).
+            print(f"# parity subbench skipped: {t_left:.0f}s left of "
+                  f"EKPNP_BENCH_BUDGET_S={budget:.0f}", file=sys.stderr)
+        else:
+            # Pin the parity variant to its best-measured knob set (round-3
+            # verdict item 2): RHS x-Hartley emission forced ON (647.3 vs
+            # 637-638 MLUPS auto at TY=64, bench_parity_rhsonly.out) and the
+            # phi decode forced OFF (601.6 when on at TY=64 — it pays only
+            # at TY >= 128, fused_step.phi_hx_profitable).  Recorded in the
+            # JSON line so the judged number states its configuration.
+            knobs = {"EKPNP_HXRHS": "1", "EKPNP_PHIHX": "0"}
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=t_left,
+                    env={**os.environ, **knobs},
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+                line = [l for l in proc.stdout.splitlines()
+                        if l.startswith("{")][-1]
+                parity = json.loads(line)
+                out["ref_parity_all_d3q27_mlups"] = parity["value"]
+                out["ref_parity_vs_roofline"] = parity["vs_baseline"]
+                if "spread" in parity:
+                    out["ref_parity_spread"] = parity["spread"]
+                out["ref_parity_knobs"] = "TY=64 hartley_x=on phi_hx=off"
+            except Exception as e:  # parity run is best-effort extra info
+                print(f"# parity subbench failed: {e}", file=sys.stderr)
 
     print(json.dumps(out))
     return 0

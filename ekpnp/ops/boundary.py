@@ -102,9 +102,24 @@ def scalar_wall_bcs(cfg: Config, streamed, post, which: str, wall=None):
             upper = refl[:, -1].at[0].set(streamed[0, -1])
             out = out.at[:, -1].set(upper)
         else:
-            down = jnp.asarray(lat.E[:, 2] == -1)[:, None, None]
-            out = out.at[:, -1].set(
-                jnp.where(down, post[:, -2], out[:, -1]))
+            # Down-going directions at the upper plate stream from the
+            # ghost plane copied from z = NZ-2 (ekpnp.step pre-copies it
+            # before streaming), so each direction carries the copied
+            # plane's value at (y - ey, x - ex) — the in-plane shift true
+            # ghost-plane streaming applies.  For D3Q7 scalars the only
+            # down direction is (0, 0, -1) and the rolls are no-ops; for
+            # D3Q27's 8 diagonal down directions they complete the
+            # zero-gradient closure to the streaming scheme's own accuracy
+            # (the reference's commented-out variant, LBM.cu:1929-1958,
+            # copies the plane unshifted pre-stream and lets streaming
+            # apply the shifts — identical semantics).
+            rows = out[:, -1]
+            for d in range(lat.Q):
+                ex, ey, ez = (int(v) for v in lat.E[d])
+                if ez == -1:
+                    rows = rows.at[d].set(
+                        jnp.roll(post[d, -2], (ey, ex), axis=(0, 1)))
+            out = out.at[:, -1].set(rows)
         return out
 
     if which == "temperature":

@@ -207,6 +207,20 @@ def make_halo_multi_step(cfg: Config, mesh: Mesh, n: int,
     check_divisibility(cfg, mesh)
     if not supports_halo_step(cfg, mesh):
         raise ValueError("halo step needs a ('y',) mesh with ny/n % 8 == 0")
+    ny_local = cfg.grid.ny // mesh.shape["y"]
+    if ny_local < 32:
+        # Measured TY cliff (SCALING_r03 / scripts/tpu_ty_probe.py): per-chip
+        # throughput at 256^3 falls to 855/598 MLUPS at TY=16/8 vs 1369 at
+        # TY=128 — strong scaling past ny/32 shards burns chips at <44%
+        # efficiency.  Warn rather than refuse: tiny-shard runs are still
+        # correct (and the CPU-mesh tests use them).
+        import warnings
+
+        warnings.warn(
+            f"ny_local={ny_local} < 32 puts the fused kernel on the measured "
+            f"small-strip cliff (<=44% per-chip at 256^3, SCALING_r03); "
+            f"strong scaling beyond ny/32 shards is not efficient",
+            RuntimeWarning, stacklevel=2)
     st_sh = state_shardings(cfg, mesh)
 
     from ..pallas.step import _phi_hx_capable

@@ -17,6 +17,33 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
+# Tier markers (round-3 verdict item 7): file-level classification so
+#   -m fast                 ~10-min gate (units, compat, golden, config, IO)
+#   -m pallas               interpret-mode fused-kernel/sharding equality
+#   -m physics              long physics integrations (onset brackets etc.)
+# Full coverage = no -m flag (all three tiers; ~40-45 min, CLAUDE.md).
+_TIER_FILES = {
+    "test_pallas_fused": "pallas",
+    "test_sharding": "pallas",
+    "test_multihost": "pallas",
+    "test_electroconvection": "physics",
+    "test_rayleigh_benard": "physics",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "fast: quick unit/compat tier (<10 min)")
+    config.addinivalue_line(
+        "markers", "pallas: interpret-mode Pallas/sharding equality tier")
+    config.addinivalue_line(
+        "markers", "physics: long physics-integration tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        item.add_marker(getattr(pytest.mark, _TIER_FILES.get(fname, "fast")))
+
 
 @pytest.fixture(scope="session")
 def eight_devices():
