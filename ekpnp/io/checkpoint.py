@@ -154,6 +154,133 @@ def load_full_npz(path: str, cfg: Config) -> State:
         )
 
 
+def save_sharded(dirpath: str, cfg: Config, state: State) -> None:
+    """Lossless per-shard checkpoint for sharded / multi-host runs
+    (round-4; reference-semantics analogue of save_data_end LBM.cu:2567-2671
+    at BASELINE config-5 scale).  Unlike save_full_npz — whose np.asarray
+    is an implicit full gather onto one host — every process writes ONLY
+    its addressable shards to its own file `shard_<pid>.npz`, keyed by the
+    shard's global start offsets, so no array is ever materialized
+    globally.  Process 0 writes `meta.json` (grid, lattices, dtype, t,
+    process count).  Restore with load_sharded under any mesh with the
+    SAME partitioning; a resumed run continues bit-identically."""
+    import json
+
+    import jax
+
+    os.makedirs(dirpath, exist_ok=True)
+    pid = jax.process_index()
+    payload = {}
+
+    def put(name, arr):
+        if arr is None:
+            return
+        for s in arr.addressable_shards:
+            if s.replica_id != 0:
+                continue  # replicated copies: one writer per shard is enough
+            off = [sl.start or 0 for sl in s.index]
+            payload[f"{name}@{'_'.join(map(str, off))}"] = np.asarray(s.data)
+
+    for name in ("f", "h", "hn", "g", "phi"):
+        put(name, getattr(state, name))
+    np.savez_compressed(os.path.join(dirpath, f"shard_{pid}.npz"), **payload)
+    if pid == 0:
+        g = cfg.grid
+        meta = {
+            "grid": [g.nx, g.ny, g.nz],
+            "lattice_q": [cfg.lattice.Q, cfg.scalar_lat.Q],
+            "dtype": str(np.dtype(cfg.run.dtype)),
+            "t": float(np.asarray(state.t)),
+            "nprocs": jax.process_count(),
+        }
+        with open(os.path.join(dirpath, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+
+def is_sharded_checkpoint(path: str) -> bool:
+    return os.path.isdir(path) and \
+        os.path.exists(os.path.join(path, "meta.json"))
+
+
+def load_sharded(dirpath: str, cfg: Config, mesh) -> State:
+    """Restore a per-shard checkpoint onto `mesh` without a global gather:
+    each process materializes only ITS addressable shards, looked up by
+    global offset across the shard files (any process may read any file,
+    so the process->device layout may differ from the saving run; the
+    PARTITIONING must match).  Bit-exact inverse of save_sharded."""
+    import glob
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import state_shardings
+
+    with open(os.path.join(dirpath, "meta.json")) as f:
+        meta = json.load(f)
+    g = cfg.grid
+    if tuple(meta["grid"]) != (g.nx, g.ny, g.nz):
+        raise ValueError(
+            f"checkpoint grid {tuple(meta['grid'])} != config grid "
+            f"{(g.nx, g.ny, g.nz)}")
+    if tuple(meta["lattice_q"]) != (cfg.lattice.Q, cfg.scalar_lat.Q):
+        raise ValueError(
+            f"checkpoint lattices Q={tuple(meta['lattice_q'])} != config "
+            f"Q={(cfg.lattice.Q, cfg.scalar_lat.Q)}")
+    dtype = jnp.dtype(cfg.run.dtype)
+    if np.dtype(meta["dtype"]) != dtype:
+        raise ValueError(
+            f"checkpoint dtype {meta['dtype']} != config {dtype}; a "
+            "lossless restore requires matching precision")
+
+    files = [np.load(p) for p in
+             sorted(glob.glob(os.path.join(dirpath, "shard_*.npz")))]
+    index = {}  # name@offsets -> (file, key)
+    for fl in files:
+        for key in fl.files:
+            index[key] = fl
+
+    shardings = state_shardings(cfg, mesh)
+
+    def lift(name, sharding):
+        shape = {
+            "f": (cfg.lattice.Q,) + g.shape,
+            "h": (cfg.scalar_lat.Q,) + g.shape,
+            "hn": (cfg.scalar_lat.Q,) + g.shape,
+            "g": (cfg.scalar_lat.Q,) + g.shape,
+            "phi": g.shape,
+        }[name]
+
+        def cb(idx):
+            off = [sl.start or 0 for sl in idx]
+            key = f"{name}@{'_'.join(map(str, off))}"
+            if key not in index:
+                raise ValueError(
+                    f"shard {key} not found in {dirpath} — the restore "
+                    f"mesh partitions {name} differently than the save")
+            data = index[key][key]
+            want = tuple((sl.stop or s) - (sl.start or 0)
+                         for sl, s in zip(idx, shape))
+            if data.shape != want:
+                raise ValueError(
+                    f"shard {key} shape {data.shape} != expected {want}")
+            return data
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    ek = cfg.physics.enable_ek
+    th = cfg.physics.enable_thermal
+    two = cfg.physics.two_species
+    return State(
+        f=lift("f", shardings.f),
+        h=lift("h", shardings.h) if ek else None,
+        hn=lift("hn", shardings.hn) if ek and two else None,
+        g=lift("g", shardings.g) if th else None,
+        phi=lift("phi", shardings.phi) if ek else None,
+        t=jnp.asarray(meta["t"], dtype),
+    )
+
+
 def save_reference_ascii(path: str, cfg: Config, macro: Macro, phi, E, t: float) -> None:
     """data_end.dat in the reference's exact 12-column ASCII layout
     (LBM.cu:2613-2624), including the wall extrapolation it applies first

@@ -203,7 +203,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                      phi_hx: bool = False,
                      cchunk: int = 0,
                      emit_group: int = 0,
-                     emit_slots: int = 2):
+                     emit_slots: int = 2,
+                     shard_x: bool = False,
+                     pc_w: int = 128):
     """Returns fn(f, h, hn, g, phi) -> (f1, h1, hn1, g1, rhs).
 
     E = -grad(phi) is computed in-kernel from a 4-slot phi plane-window
@@ -264,6 +266,32 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     resolved at trace time.  0 = whole-field double buffers (measured
     fastest wherever VMEM allows).
 
+    shard_x: the pencil multi-chip form (parallel/halo.py, ("y", "x")
+    meshes): the grid is this shard's local (y, x) range.  The kernel
+    stays FULLY LOCAL in x — streaming uses the ordinary periodic lane
+    roll, and the one wrong column per roll direction (lane 0 for ex=+1,
+    lane NXL-1 for ex=-1) is fixed OUTSIDE the kernel by ppermuting the
+    kernel's own wrap columns around the mesh "x" ring: the locally
+    wrapped out[d, z, y, 0] IS post[d, z-ez, y-ey, NXL-1], exactly the
+    value the right x-neighbor needs at its lane 0 (parallel/halo.py
+    _fix_x_columns).  A round-4 measured dead end rejected the
+    re-collided-halo-lane alternative (x-halo tiles widening the kernel
+    to NXL+128 lanes): lane-tile granularity makes any per-field x-halo
+    input cost a full 128-lane read+write pass, measured 154-196 MLUPS
+    at 128^3 vs 774 for the plain kernel at the same local shape — the
+    column-fix design adds only column traffic.  The single pre-kernel
+    x-halo the kernel DOES take is the packed phi-column array `pcol`
+    (NZ, NYl, pc_w): lane 0 = phi(x=-1) (left neighbor's last column),
+    lane 1 = phi(x=NXL) (right neighbor's first) — the centered Ex
+    stencil's two off-shard reads, patched into the two edge lanes with
+    one masked select per plane (efield_planes); pcol_lo/pcol_hi are its
+    8-row y-halo blocks (depth 1), so corner rows carry the diagonal
+    shard's values.  fn takes (..., pcol, pcol_lo, pcol_hi).  Requires
+    halo=True; forces hartley_x/phi_hx off (the cas matmul needs the
+    full x extent on one chip).  The reference has no analogue — its
+    single GPU wraps x through global memory (LBM.cu:1970-1975); this is
+    the TPU pencil decomposition SURVEY.md:161-163 commits to.
+
     pad_x: lane-tile padding of the x axis.  Mosaic requires whole
     128-lane tiles for the window DMAs and lane rolls (every NX < 128
     failed remote compile round 1), so grids like the reference's own
@@ -287,6 +315,19 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     g = cfg.grid
     p = cfg.physics
     NZ, NY, NXL = g.shape        # NXL: logical x extent
+    if shard_x:
+        if not halo:
+            raise ValueError("shard_x requires halo=True (the pencil path "
+                             "always runs under shard_map)")
+        if phi_hx or hartley_x:
+            raise ValueError("shard_x cannot fuse the x-Hartley stages: the "
+                             "cas matmul needs the full x extent on one chip")
+        hartley_x = False
+        if pc_w < 2:
+            raise ValueError("pc_w must hold the 2 phi halo columns")
+        if not interpret and pc_w % 128:
+            raise ValueError("compiled shard_x needs pc_w to be a whole "
+                             "128-lane tile")
     if pad_x is None:
         pad_x = 0 if interpret else 128
     NX = _padded_nx(NXL, pad_x)  # NX: padded width the kernel arrays carry
@@ -417,6 +458,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     n_in = nf + (1 if ek else 0)
     if halo:
         n_in += 2 * nf + (2 if ek else 0)
+    pcol = shard_x and ek     # packed phi-column x-halo (pcol, lo, hi)
+    if pcol:
+        n_in += 3
     # Mosaic's in-kernel dot lowers only DEFAULT (bf16) or HIGHEST (fp32
     # contract); HIGHEST here is >= the 3-pass HIGH the standalone x-stage
     # uses, and the matmul rides the otherwise-idle MXU either way
@@ -431,11 +475,16 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             in_hi = refs[idx : idx + nf]; idx += nf
             in_phi_lo = refs[idx] if ek else None; idx += 1 if ek else 0
             in_phi_hi = refs[idx] if ek else None; idx += 1 if ek else 0
+        if pcol:
+            in_pcol = refs[idx]; idx += 1
+            in_pcol_lo = refs[idx]; idx += 1
+            in_pcol_hi = refs[idx]; idx += 1
         in_hx = refs[idx] if hartley_x else None; idx += 1 if hartley_x else 0
         out_pop = refs[idx : idx + nf]; idx += nf
         out_rhs = refs[idx] if ek else None; idx += 1 if ek else 0
         buf_in = refs[idx : idx + nf]; idx += nf
         buf_phi = refs[idx] if ek else None; idx += 1 if ek else 0
+        buf_pcol = refs[idx] if pcol else None; idx += 1 if pcol else 0
         slot_pop = refs[idx : idx + nf]; idx += nf
         f_pin = refs[idx]; idx += 1                      # (9, R, NX)
         if EG:
@@ -448,6 +497,7 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         idx += 1 if (ek and chunked) else 0              # (nspec, R, NX)
         sem_in = refs[idx]; idx += 1                     # (2, nf, 3)
         sem_phi = refs[idx] if ek else None; idx += 1 if ek else 0  # (4, 3)
+        sem_pcol = refs[idx] if pcol else None; idx += 1 if pcol else 0
         sem_emit = refs[idx]; idx += 1                   # (nf, 2)
         sem_wall = refs[idx]; idx += 1                   # (2,)
         sem_cmom = refs[idx] if ek else None; idx += 1 if ek else 0
@@ -502,11 +552,27 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                         sem_in.at[slot, k, i]))
             return out
 
+        def _pcol_src(kind, plane, sa, n):
+            if kind == "main":
+                return in_pcol.at[plane, pl.ds(sa, n), :]
+            arr = in_pcol_lo if kind == "lo" else in_pcol_hi
+            return arr.at[plane, pl.ds(0, n), :]
+
         def _phi_copies(case, plane, slot):
-            return [pltpu.make_async_copy(
-                        _phi_src(kind, plane, sa, n),
-                        buf_phi.at[slot, pl.ds(da, n), :], sem_phi.at[slot, i])
-                    for i, (kind, sa, da, n) in enumerate(_pieces(case, HI_PHI))]
+            out = [pltpu.make_async_copy(
+                       _phi_src(kind, plane, sa, n),
+                       buf_phi.at[slot, pl.ds(da, n), :], sem_phi.at[slot, i])
+                   for i, (kind, sa, da, n) in enumerate(_pieces(case, HI_PHI))]
+            if pcol:
+                # the packed phi-column x-halo rides the same window/slot
+                # schedule as phi (its Ex-patch rows match phi's stencil rows)
+                out += [pltpu.make_async_copy(
+                            _pcol_src(kind, plane, sa, n),
+                            buf_pcol.at[slot, pl.ds(da, n), :],
+                            sem_pcol.at[slot, i])
+                        for i, (kind, sa, da, n)
+                        in enumerate(_pieces(case, HI_PHI))]
+            return out
 
         def _in_do(plane, action):
             slot = jax.lax.rem(jnp.int32(plane), jnp.int32(2))
@@ -620,7 +686,19 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             a = HALO - 1 + r0
             phic = buf_phi[s0, a : a + nrow, :]
             # roll_x handles the padded-lane periodic wrap (pad_x)
-            Ex = (roll_x(phic, 1) - roll_x(phic, -1)) * cst(0.5 / g.dx)
+            if pcol:
+                # pencil shards: the centered Ex stencil's two off-shard
+                # reads come from the packed column window — lane 0 is
+                # phi(x=-1), lane 1 phi(x=NXL) (parallel/halo.py) — patched
+                # into the edge lanes with one masked lane-broadcast select
+                pc = buf_pcol[s0, a : a + nrow, :]
+                iota = jax.lax.broadcasted_iota(jnp.int32, phic.shape, 1)
+                left = jnp.where(iota == 0, pc[:, 0:1], roll_x(phic, 1))
+                right = jnp.where(iota == NXL - 1, pc[:, 1:2],
+                                  roll_x(phic, -1))
+                Ex = (left - right) * cst(0.5 / g.dx)
+            else:
+                Ex = (roll_x(phic, 1) - roll_x(phic, -1)) * cst(0.5 / g.dx)
             Ey = (buf_phi[s0, a - 1 : a - 1 + nrow, :]
                   - buf_phi[s0, a + 1 : a + 1 + nrow, :]) * cst(0.5 / g.dy)
             Ez = (buf_phi[sm, a : a + nrow, :]
@@ -1149,6 +1227,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         scratch.append(pltpu.VMEM((2, q, WROWS, NX), dtype))   # input windows
     if ek:
         scratch.append(pltpu.VMEM((4, WROWS_PHI, NX), dtype))  # phi windows
+    if pcol:
+        scratch.append(pltpu.VMEM((4, WROWS_PHI, pc_w), dtype))  # pcol windows
     for q in QS:
         scratch.append(pltpu.VMEM((3, q, R, NX), dtype))       # post slots
     scratch.append(pltpu.VMEM((len(PIN_DIRS), R, NX), dtype))  # f_pin
@@ -1165,6 +1245,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     scratch.append(pltpu.SemaphoreType.DMA((2, nf, 3)))        # sem_in
     if ek:
         scratch.append(pltpu.SemaphoreType.DMA((4, 3)))        # sem_phi
+    if pcol:
+        scratch.append(pltpu.SemaphoreType.DMA((4, 3)))        # sem_pcol
     scratch.append(pltpu.SemaphoreType.DMA((ESL,) if EG else (nf, 2)))  # sem_emit
     scratch.append(pltpu.SemaphoreType.DMA((2,)))              # sem_wall
     if ek:
@@ -1196,7 +1278,8 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         return a if (a is None or NX == NXL) else a[..., :NXL]
 
     def apply(f, h=None, hn=None, g_=None, phi=None,
-              lo=None, hi=None, phi_lo=None, phi_hi=None):
+              lo=None, hi=None, phi_lo=None, phi_hi=None,
+              pcol_=None, pcol_lo=None, pcol_hi=None):
         args = [f]
         if ek:
             args += [h, hn] if nspec == 2 else [h]
@@ -1209,6 +1292,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
             if ek:
                 args += [phi_lo, phi_hi]
         args = [_pad(a) for a in args]
+        if pcol:
+            # packed phi-column x-halo: already one lane tile wide, never
+            # padded (only lanes 0-1 are read)
+            args += [pcol_, pcol_lo, pcol_hi]
         if hartley_x:
             from ..parallel.fft import _hartley_matrix
 

@@ -16,9 +16,19 @@ module is the production multi-chip path instead:
     GSPMD (parallel/fft.py inserts the all-to-all repartitions between the
     per-axis transform stages).
 
-Only y is ever sharded here: z carries the wall physics and the DST
-(everything stays chip-local), and x is the TPU lane dimension.  Pencil
-(y, x) meshes take the GSPMD oracle path.
+z is never sharded: it carries the wall physics and the DST (everything
+stays chip-local).  Pencil ("y", "x") meshes run the same per-shard fused
+kernel in its shard_x form (fused_step.py): the kernel wraps x LOCALLY
+(plain periodic lane roll, zero extra lanes) and the two wrong wrap
+columns per direction sign are repaired after the kernel by ppermuting
+each shard's own wrap columns around the mesh "x" ring (fix_x_columns —
+the locally wrapped column IS the value the neighbor needs).  The only
+pre-kernel x-halo is the 2-column packed phi array `pcol` feeding the
+in-kernel Ex stencil, built BEFORE the y-exchange so its exchanged edge
+rows carry the diagonal-shard corners.  Per-chip traffic is the plain
+kernel's plus column exchanges only; compiled pencil shards must be
+whole 128-lane tiles wide (SURVEY.md:161-163 pencil commitment; the
+single-GPU reference wraps x through global memory, LBM.cu:1970-1975).
 
 Per-shard perf gates use the LOCAL grid: make_halo_multi_step evaluates
 _phi_hx_capable on the shard's ny_local, so sharding 256^3 over 2+ chips
@@ -53,6 +63,7 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
@@ -62,30 +73,45 @@ from .mesh import check_divisibility, state_shardings
 HALO = 8
 
 
-def supports_halo_step(cfg: Config, mesh) -> bool:
-    """The shard_map + Pallas path needs a pure y-slab mesh and >= 8 rows
-    per shard."""
-    if mesh is None or "x" in mesh.axis_names:
+def supports_halo_step(cfg: Config, mesh, interpret: bool = False) -> bool:
+    """The shard_map + Pallas path needs >= 8 y-rows per shard; pencil
+    ("y", "x") meshes additionally need each x-shard to be whole 128-lane
+    tiles in compiled mode (the fused kernel's shard_x window DMA splits
+    the lane axis at x = NXL; interpret-mode tests run any width)."""
+    if mesh is None:
         return False
     n = mesh.shape["y"]
+    if cfg.grid.ny % n:
+        return False
     ny_local = cfg.grid.ny // n
-    return cfg.grid.ny % n == 0 and ny_local % 8 == 0 and ny_local >= 8
+    if ny_local % 8 or ny_local < 8:
+        return False
+    if "x" in mesh.axis_names:
+        nx_n = mesh.shape["x"]
+        if cfg.grid.nx % nx_n:
+            return False
+        nx_local = cfg.grid.nx // nx_n
+        if not interpret and nx_local % 128:
+            return False
+    return True
 
 
 @lru_cache(maxsize=None)
 def _local_fused(cfg_local: Config, dtype_name: str, interpret: bool,
-                 phi_hx: bool = False):
+                 phi_hx: bool = False, shard_x: bool = False, pc_w: int = 128):
     from ..pallas.fused_step import build_fused_step
 
     return build_fused_step(
         cfg_local, dtype=jnp.dtype(dtype_name), interpret=interpret, halo=True,
-        phi_hx=phi_hx,
+        phi_hx=phi_hx, shard_x=shard_x, pc_w=pc_w,
     )
 
 
-def _local_cfg(cfg: Config, nshards: int) -> Config:
+def _local_cfg(cfg: Config, nshards: int, nx_shards: int = 1) -> Config:
     return dataclasses.replace(
-        cfg, grid=dataclasses.replace(cfg.grid, ny=cfg.grid.ny // nshards)
+        cfg, grid=dataclasses.replace(
+            cfg.grid, ny=cfg.grid.ny // nshards,
+            nx=cfg.grid.nx // nx_shards)
     )
 
 
@@ -102,16 +128,24 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
     encodes/decodes once per compiled chunk."""
     p = cfg.physics
     nsh = mesh.shape["y"]
-    cfg_local = _local_cfg(cfg, nsh)
-    fused = _local_fused(cfg_local, state.f.dtype.name, interpret, phi_hx)
+    pencil = "x" in mesh.axis_names
+    nxs = mesh.shape["x"] if pencil else 1
+    pc_w = (8 if interpret else 128) if pencil else 128
+    cfg_local = _local_cfg(cfg, nsh, nxs)
+    fused = _local_fused(cfg_local, state.f.dtype.name, interpret, phi_hx,
+                         shard_x=pencil, pc_w=pc_w)
     ek, th = p.enable_ek, p.enable_thermal
 
     two = p.two_species
-    pop_s = P(None, None, "y", None)
-    sca_s = P(None, "y", None)
+    xax = "x" if pencil else None
+    pop_s = P(None, None, "y", xax)
+    sca_s = P(None, "y", xax)
 
     perm_fwd = [(i, (i + 1) % nsh) for i in range(nsh)]  # my rows -> right
     perm_bwd = [(i, (i - 1) % nsh) for i in range(nsh)]  # my rows -> left
+    if pencil:
+        permx_fwd = [(i, (i + 1) % nxs) for i in range(nxs)]
+        permx_bwd = [(i, (i - 1) % nxs) for i in range(nxs)]
 
     def exchange(arr, rows_axis, depth):
         """(lo, hi) 8-row halo blocks for this shard, exchanging only the
@@ -134,6 +168,46 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
 
         return _expand(lo_sm, True), _expand(hi_sm, False)
 
+    def build_pcol(phi):
+        """Packed phi-column x-halo (NZ, NYl, pc_w) for the in-kernel Ex
+        stencil (fused_step.py shard_x): lane 0 = phi(x=-1) (the LEFT
+        x-neighbor's last column), lane 1 = phi(x=NXL) (the RIGHT
+        neighbor's first).  Built BEFORE the y-exchange so its exchanged
+        edge rows carry the diagonal-shard corner values.  Filler lanes
+        replicate lane 0 (finite, never read)."""
+        ax = phi.ndim - 1
+        n = phi.shape[ax]
+        left = jax.lax.ppermute(       # my last column -> right neighbor
+            jax.lax.slice_in_dim(phi, n - 1, n, axis=ax), "x", permx_fwd)
+        right = jax.lax.ppermute(      # my first column -> left neighbor
+            jax.lax.slice_in_dim(phi, 0, 1, axis=ax), "x", permx_bwd)
+        fill = jnp.broadcast_to(left, left.shape[:-1] + (pc_w - 2,))
+        return jnp.concatenate([left, right, fill], axis=ax)
+
+    def fix_x_columns(out_k, lat_k, all_z):
+        """Repair the two x-wrap columns of a streamed output field.  The
+        kernel wrapped x locally, so out[d, z, y, 0] holds THIS shard's
+        post[d, z-ez, y-ey, NXL-1] — which is exactly the value the RIGHT
+        x-neighbor needs at its lane 0 (and symmetrically for ex=-1): each
+        shard just ppermutes its own wrap columns around the mesh "x" ring
+        and writes what it receives.  Corner values ride for free: the
+        sender's column already includes its y-halo-row streams.  Scalar
+        fields (all_z=False) skip the wall planes — their z=0/NZ-1 rows
+        are same-node reflections, never x-streamed (emit_wall)."""
+        E = lat_k.E
+        nzg = out_k.shape[1]
+        for sign, lane, perm in ((1, 0, permx_fwd),
+                                 (-1, out_k.shape[-1] - 1, permx_bwd)):
+            idx = np.array([d for d in range(lat_k.Q)
+                            if int(E[d][0]) == sign])
+            col = out_k[idx, :, :, lane]          # (nd, NZ, NYl)
+            recv = jax.lax.ppermute(col, "x", perm)
+            if not all_z:
+                zi = jax.lax.broadcasted_iota(jnp.int32, recv.shape, 1)
+                recv = jnp.where((zi > 0) & (zi < nzg - 1), recv, col)
+            out_k = out_k.at[idx, :, :, lane].set(recv)
+        return out_k
+
     def local_step(*args):
         it = iter(args)
         f = next(it)
@@ -150,11 +224,26 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
             los.append(lo)
             his.append(hi)
         phi_lo = phi_hi = None
+        kw = {}
         if ek:
             phi_lo, phi_hi = exchange(phi, 1, depth=2)
+            if pencil:
+                pcol = build_pcol(phi)
+                pcol_lo, pcol_hi = exchange(pcol, 1, depth=1)
+                kw = dict(pcol_=pcol, pcol_lo=pcol_lo, pcol_hi=pcol_hi)
 
         ret = fused(f, h, hn, g_, phi, lo=los, hi=his,
-                    phi_lo=phi_lo, phi_hi=phi_hi)
+                    phi_lo=phi_lo, phi_hi=phi_hi, **kw)
+        if pencil and nxs > 1:
+            f1, h1, hn1, g1, rhs = ret
+            f1 = fix_x_columns(f1, cfg.lattice, all_z=True)
+            h1 = fix_x_columns(h1, cfg.scalar_lat, False) \
+                if h1 is not None else None
+            hn1 = fix_x_columns(hn1, cfg.scalar_lat, False) \
+                if hn1 is not None else None
+            g1 = fix_x_columns(g1, cfg.scalar_lat, False) \
+                if g1 is not None else None
+            ret = (f1, h1, hn1, g1, rhs)
         # drop inactive-field Nones so the outputs match out_specs
         return tuple(x for x in ret if x is not None)
 
@@ -205,8 +294,10 @@ def make_halo_multi_step(cfg: Config, mesh: Mesh, n: int,
     every step x-stage-free, and decodes once — state in and out is
     ordinary real phi either way."""
     check_divisibility(cfg, mesh)
-    if not supports_halo_step(cfg, mesh):
-        raise ValueError("halo step needs a ('y',) mesh with ny/n % 8 == 0")
+    if not supports_halo_step(cfg, mesh, interpret):
+        raise ValueError("halo step needs ny/n % 8 == 0 (and 128-lane "
+                         "x-shards on pencil meshes in compiled mode)")
+    pencil = "x" in mesh.axis_names
     ny_local = cfg.grid.ny // mesh.shape["y"]
     if ny_local < 32:
         # Measured TY cliff (SCALING_r03 / scripts/tpu_ty_probe.py): per-chip
@@ -225,7 +316,10 @@ def make_halo_multi_step(cfg: Config, mesh: Mesh, n: int,
 
     from ..pallas.step import _phi_hx_capable
 
-    hx = _phi_hx_capable(_local_cfg(cfg, mesh.shape["y"]), interpret)
+    # pencil shards cannot carry the x-Hartley phi encoding: the cas
+    # matmul needs the full x extent on one chip (fused_step.py shard_x)
+    hx = (not pencil) and _phi_hx_capable(
+        _local_cfg(cfg, mesh.shape["y"]), interpret)
 
     def run(s):
         if hx:

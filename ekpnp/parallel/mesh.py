@@ -152,8 +152,9 @@ def make_sharded_multi_step(cfg, mesh: Mesh, n: int):
     """n fused steps under one jit with stable shardings.
 
     Dispatch: the shard_map + Pallas + ppermute fast path (parallel/halo.py)
-    when the mesh is a y-slab and the Pallas kernel is enabled; the GSPMD
-    jnp-oracle path otherwise (pencil meshes, CPU, use_pallas=False)."""
+    when the mesh is a y-slab OR a 128-lane-aligned pencil and the Pallas
+    kernel is enabled; the GSPMD jnp-oracle path otherwise (unaligned
+    pencils, CPU, use_pallas=False)."""
     import jax as _jax
 
     if cfg.run.use_pallas and _jax.default_backend() != "cpu":

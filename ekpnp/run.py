@@ -168,8 +168,26 @@ def cmd_run(args):
     outdir = cfg.run.outdir
     os.makedirs(outdir, exist_ok=True)
 
+    mesh = None
+    if args.mesh:
+        from .parallel import mesh as pmesh
+
+        devs = jax.devices()
+        if args.mesh_devices:
+            devs = devs[: args.mesh_devices]
+        mesh = pmesh.make_mesh(devs, pencil=(args.mesh == "pencil"))
+        print(f"  mesh: {dict(mesh.shape)} over {len(devs)} devices")
+
+    state = None
     if args.resume:
-        if ckpt.is_full_checkpoint(args.resume):
+        if ckpt.is_sharded_checkpoint(args.resume):
+            if mesh is None:
+                raise SystemExit(
+                    "a per-shard checkpoint directory needs --mesh to restore")
+            print(f"Restoring from {args.resume} (lossless per-shard "
+                  f"resume, no gather)...")
+            state = ckpt.load_sharded(args.resume, cfg, mesh)
+        elif ckpt.is_full_checkpoint(args.resume):
             print(f"Restoring from {args.resume} (lossless full-state resume)...")
             state = ckpt.load_full_npz(args.resume, cfg)
         elif args.resume.endswith(".dat"):
@@ -178,7 +196,9 @@ def cmd_run(args):
         else:
             print(f"Restoring from {args.resume} (populations re-equilibrated)...")
             state = ckpt.load_npz(args.resume, cfg)
+        resumed_sharded = ckpt.is_sharded_checkpoint(args.resume)
     else:
+        resumed_sharded = False
         print("Initializing (PB double-layer relaxation)...")
         t_init = time.perf_counter()
         state, _, pb_res = initialize(cfg, with_residual=True)
@@ -188,16 +208,8 @@ def cmd_run(args):
                   f"{time.perf_counter() - t_init:.2f} s, final relative "
                   f"update {float(pb_res):.3e} (tune with --set pb_iters=N)")
 
-    mesh = None
-    if args.mesh:
-        from .parallel import mesh as pmesh
-
-        devs = jax.devices()
-        if args.mesh_devices:
-            devs = devs[: args.mesh_devices]
-        mesh = pmesh.make_mesh(devs, pencil=(args.mesh == "pencil"))
+    if mesh is not None and not resumed_sharded:
         state = pmesh.shard_state(cfg, mesh, state)
-        print(f"  mesh: {dict(mesh.shape)} over {len(devs)} devices")
 
     macro_fn = jax.jit(compute_macro, static_argnums=(0,))
     from .ops.poisson import efield
@@ -357,7 +369,15 @@ def cmd_run(args):
         os.path.join(outdir, "data_end.dat"), cfg, macro, state.phi, E_io, float(state.t)
     )
     if args.checkpoint_full:
-        ckpt.save_full_npz(os.path.join(outdir, "state_end.npz"), cfg, state)
+        if mesh is not None:
+            # sharded runs: lossless per-shard directory, no global gather
+            # (each process writes only its addressable shards; resume with
+            # --resume out/state_end.ckpt --mesh ...)
+            ckpt.save_sharded(os.path.join(outdir, "state_end.ckpt"),
+                              cfg, state)
+        else:
+            ckpt.save_full_npz(os.path.join(outdir, "state_end.npz"),
+                               cfg, state)
 
     print(" ----- performance information -----")
     print(f"           timesteps: {nsteps} ({steps_timed} timed; "

@@ -63,7 +63,27 @@ def main():
     out = run(gstate)
     jax.block_until_ready(out.f)
 
+    # per-shard checkpoint round-trip (round-4 verdict item 4): every
+    # process writes only its addressable shards (no gather), the restore
+    # rebuilds the sharded state, and each process checks ITS shards
+    # bit-exactly against the live state
+    from ekpnp.io.checkpoint import load_sharded, save_sharded
     from jax.experimental import multihost_utils
+
+    ckdir = outpath + ".ckpt"
+    save_sharded(ckdir, cfg, out)
+    multihost_utils.sync_global_devices("ckpt written")
+    back = load_sharded(ckdir, cfg, mesh)
+    for name in ("f", "h", "hn", "g", "phi"):
+        a, b = getattr(out, name), getattr(back, name)
+        if a is None:
+            assert b is None
+            continue
+        for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+            assert sa.index == sb.index
+            assert np.array_equal(np.asarray(sa.data), np.asarray(sb.data)), \
+                f"sharded checkpoint round-trip not bit-exact for {name}"
+    multihost_utils.sync_global_devices("ckpt verified")
 
     gathered = {}
     for name in ("f", "h", "hn", "g", "phi"):

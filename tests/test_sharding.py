@@ -164,6 +164,61 @@ def test_halo_shardmap_single_species(eight_devices):
     assert s1.hn is None and s2.hn is None
 
 
+def test_pencil_shardmap_matches_single_pallas(eight_devices):
+    """The pencil fast path (fused Pallas kernel in its shard_x form per
+    ("y", "x") shard + ppermute x-halo tiles, parallel/halo.py) must
+    reproduce the single-device fused step to f64 roundoff — including
+    the diagonal-corner streams (ey, ex both nonzero) that cross shard
+    corners, exercised over 2 steps."""
+    from ekpnp.parallel import halo as phalo
+    from ekpnp.pallas.step import step_pallas
+
+    cfg = preset(
+        "reference", nx=32, ny=16, nz=9, fft_method="matmul", use_pallas=True
+    )
+    state, _ = initialize(cfg)
+
+    s1 = state
+    for _ in range(2):
+        s1, _ = step_pallas(cfg, s1, interpret=True)
+
+    m = pmesh.make_mesh(eight_devices, pencil=True)  # ("y", "x") = (2, 4)
+    assert phalo.supports_halo_step(cfg, m, interpret=True)
+    s8 = pmesh.shard_state(cfg, m, state)
+    for _ in range(2):
+        s8 = phalo.step_halo(cfg, s8, m, interpret=True)
+
+    for name in ("f", "h", "hn", "g", "phi"):
+        a, b = getattr(s1, name), getattr(s8, name)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13, err_msg=name
+        )
+
+
+def test_pencil_shardmap_d3q7_injection(eight_devices):
+    """Pencil fast path with mixed lattices (D3Q27 fluid + D3Q7 scalars)
+    and the charge-injection Dirichlet BC on a (2, 2) mesh."""
+    from ekpnp.parallel import halo as phalo
+    from ekpnp.pallas.step import step_pallas
+
+    cfg = preset("reference", nx=16, ny=16, nz=9, fft_method="matmul",
+                 use_pallas=True, scalar_lattice="D3Q7",
+                 charge_bc="injection")
+    state, _ = initialize(cfg)
+    s1 = state
+    for _ in range(2):
+        s1, _ = step_pallas(cfg, s1, interpret=True)
+
+    m = pmesh.make_mesh(eight_devices[:4], pencil=True)  # (2, 2)
+    s4 = pmesh.shard_state(cfg, m, state)
+    for _ in range(2):
+        s4 = phalo.step_halo(cfg, s4, m, interpret=True)
+    for name in ("f", "h", "hn", "g", "phi"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)), np.asarray(getattr(s4, name)),
+            rtol=1e-11, atol=1e-13, err_msg=name)
+
+
 def test_halo_multi_step_hx_chunk_matches_single(eight_devices):
     """The sharded multi-step chunk with x-Hartley-encoded phi carry
     (make_halo_multi_step routing through step_halo phi_hx=True: encode
