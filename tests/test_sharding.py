@@ -185,8 +185,10 @@ def test_pencil_shardmap_matches_single_pallas(eight_devices):
     m = pmesh.make_mesh(eight_devices, pencil=True)  # ("y", "x") = (2, 4)
     assert phalo.supports_halo_step(cfg, m, interpret=True)
     s8 = pmesh.shard_state(cfg, m, state)
-    for _ in range(2):
-        s8 = phalo.step_halo(cfg, s8, m, interpret=True)
+    # through the production multi-step chunk (jit + scan + donation +
+    # stable shardings), not just the single-step entry
+    run = phalo.make_halo_multi_step(cfg, m, 2, interpret=True)
+    s8 = run(s8)
 
     for name in ("f", "h", "hn", "g", "phi"):
         a, b = getattr(s1, name), getattr(s8, name)
