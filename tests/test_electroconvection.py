@@ -31,6 +31,11 @@ anchor for exactly this loop is unipolar charge injection between plates:
   The bifurcation is subcritical (finite-amplitude threshold
   T_f ~= 108.8), so the bracket uses a SMALL seed, probing the linear
   threshold only, and the run stops while amplitudes stay linear.
+  Round-4 measurement: the EFFECTIVE threshold of this discretization is
+  T_c,eff ~= 133 at Fe = 50, moving to ~= 145 at Fe = 200 — monotonically
+  toward the diffusion-free 164.1 (diffusion destabilizes); the onset
+  test brackets the measured Fe = 50 threshold at +-5.4% (130/145) and
+  records the full ratio-vs-T table (test docstring).
 
 Parameter derivation (documented because the reference's own constants
 cannot reach T ~ 164 in a weakly-compressible lattice): T = eps V /
@@ -203,20 +208,33 @@ def _mode_amplitude(cfg, state):
     return 2.0 * np.abs(np.fft.rfft(uz)[1]) / uz.size
 
 
-@pytest.mark.parametrize("T,expect_growth", [(130.0, False), (205.0, True)])
+@pytest.mark.parametrize("T,expect_growth", [(130.0, False), (145.0, True)])
 def test_electroconvection_onset_bracket(T, expect_growth):
-    """Linear-onset bracket around T_c ~= 164 (C = 10): a small roll seed
-    at the critical wavelength (Lx ~= 1.31 L ~= 2 pi / k_c) must decay at
-    T = 130 and grow at T = 205 (+-20-25%: margin for the finite-Fe and
-    finite-resolution shifts of the threshold).  The base state is the
-    self-consistent relaxed 1D profile (cached dimensionless across both
-    legs); amplitudes stay in the linear regime so the subcritical branch
-    (T_f ~= 109) is not triggered.
+    """Linear-onset bracket (C = 10): a small roll seed at the critical
+    wavelength (Lx ~= 1.31 L ~= 2 pi / k_c) must decay at T = 130 and
+    grow at T = 145 — a +-5.4% bracket around the MEASURED effective
+    threshold T_c,eff ~= 133-137 at Fe = 50 (round-4, tightened from the
+    round-3 130/205 legs).  The base state is the self-consistent relaxed
+    1D profile (cached dimensionless across both legs); amplitudes stay
+    in the linear regime so the subcritical branch is not triggered.
 
-    Calibration (f64, Fe=50): after the 6000-step kinetic settling the
-    measured mode amplitude moves ~x1.30 per 3500-step window at T=205
-    and ~x0.975 per window at T=130 — the assertions sit well inside
-    both."""
+    Why the bracket centers below the diffusion-free Atten-Moreau
+    T_c = 164.1: charge diffusion destabilizes the hydrostatic layer.
+    Measured per-3500-step-window amplitude ratios (f64, this harness):
+
+        Fe =  50:  T=130: 0.975   T=145: 1.066   T=155: 1.119
+                   T=175: 1.228   T=185: 1.283   T=205: ~1.30
+                   -> zero-growth crossing T_c,eff ~= 133
+        Fe = 200:  T=145: 1.017   T=165: 1.112   T=185: 1.208
+                   -> zero-growth crossing T_c,eff ~= 145
+
+    The threshold moves monotonically toward the diffusion-free 164.1 as
+    Fe grows (133 -> 145 for Fe 50 -> 200), attributing the offset to
+    finite Fe (plus C = 10 and nz = 65 resolution); a +-12% bracket
+    around 164 ITSELF is not attainable here — at Fe = 200 the T = 145
+    leg is neutral (ratio 1.017), and Fe >> 200 under-resolves the
+    injector charge layer at this grid (module docstring calibration).
+    Fe = 50 keeps both legs decisively one-sided at 4 windows."""
     C, Fe = 10.0, 50.0
     cfg, prm = _scl_config(nx=84, ny=1, T=T, C=C, Fe=Fe)
     ct, Et, phit = _relaxed_base(C, Fe)
@@ -235,7 +253,10 @@ def test_electroconvection_onset_bracket(T, expect_growth):
         state = multi_step(cfg, state, 3500)
         amps.append(_mode_amplitude(cfg, state))
     if expect_growth:
-        assert amps[-1] > 1.8 * amps[0], f"no growth at T={T}: {amps}"
+        # measured x1.066/window at T=145 -> x1.21 over 3 windows;
+        # assert half the measured excess plus monotonicity of the tail
+        assert amps[-1] > 1.10 * amps[0], f"no growth at T={T}: {amps}"
+        assert amps[-1] > amps[-2] > amps[-3], f"not monotone at T={T}: {amps}"
     else:
         assert amps[-1] < 0.99 * amps[0], f"no decay at T={T}: {amps}"
         assert amps[-1] < a0 / 3.0
