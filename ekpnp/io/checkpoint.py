@@ -162,8 +162,8 @@ def save_sharded(dirpath: str, cfg: Config, state: State) -> None:
     its addressable shards to its own file `shard_<pid>.npz`, keyed by the
     shard's global start offsets, so no array is ever materialized
     globally.  Process 0 writes `meta.json` (grid, lattices, dtype, t,
-    process count).  Restore with load_sharded under any mesh with the
-    SAME partitioning; a resumed run continues bit-identically."""
+    process count).  Restore with load_sharded under ANY mesh layout
+    (mesh-elastic stitching); a resumed run continues bit-identically."""
     import json
 
     import jax
@@ -204,10 +204,13 @@ def is_sharded_checkpoint(path: str) -> bool:
 
 def load_sharded(dirpath: str, cfg: Config, mesh) -> State:
     """Restore a per-shard checkpoint onto `mesh` without a global gather:
-    each process materializes only ITS addressable shards, looked up by
-    global offset across the shard files (any process may read any file,
-    so the process->device layout may differ from the saving run; the
-    PARTITIONING must match).  Bit-exact inverse of save_sharded."""
+    each process materializes only ITS addressable shards, assembled from
+    the saved shard files by global offset.  MESH-ELASTIC: the restore
+    mesh need not match the saving mesh — a shard saved on a 4-way slab
+    restores onto a 2-way slab, a pencil, or a single device (each
+    requested local block is stitched from the saved pieces that overlap
+    it; only the overlapping bytes are read).  Bit-exact inverse of
+    save_sharded."""
     import glob
     import json
 
@@ -235,10 +238,13 @@ def load_sharded(dirpath: str, cfg: Config, mesh) -> State:
 
     files = [np.load(p) for p in
              sorted(glob.glob(os.path.join(dirpath, "shard_*.npz")))]
-    index = {}  # name@offsets -> (file, key)
+    # name -> [(offsets, file, key)]; shapes come lazily from the npz
+    pieces = {}
     for fl in files:
         for key in fl.files:
-            index[key] = fl
+            name, off_s = key.split("@")
+            off = tuple(int(v) for v in off_s.split("_"))
+            pieces.setdefault(name, []).append((off, fl, key))
 
     shardings = state_shardings(cfg, mesh)
 
@@ -250,21 +256,38 @@ def load_sharded(dirpath: str, cfg: Config, mesh) -> State:
             "g": (cfg.scalar_lat.Q,) + g.shape,
             "phi": g.shape,
         }[name]
+        if name not in pieces:
+            raise ValueError(f"field {name} not present in {dirpath}")
 
         def cb(idx):
-            off = [sl.start or 0 for sl in idx]
-            key = f"{name}@{'_'.join(map(str, off))}"
-            if key not in index:
+            lo = [sl.start or 0 for sl in idx]
+            hi = [sl.stop if sl.stop is not None else s
+                  for sl, s in zip(idx, shape)]
+            want = tuple(h - l for l, h in zip(lo, hi))
+            out = None
+            for off, fl, key in pieces[name]:
+                data = fl[key]
+                # overlap of the saved piece [off, off+shape) with [lo, hi)
+                a = [max(l, o) for l, o in zip(lo, off)]
+                b = [min(h, o + s) for h, o, s in zip(hi, off, data.shape)]
+                if any(x >= y for x, y in zip(a, b)):
+                    continue
+                if tuple(off) == tuple(lo) and data.shape == want:
+                    return data  # exact-match fast path (same mesh layout)
+                if out is None:
+                    out = np.empty(want, data.dtype)
+                    filled = np.zeros(want, bool)
+                dst = tuple(slice(x - l, y - l)
+                            for x, y, l in zip(a, b, lo))
+                src = tuple(slice(x - o, y - o)
+                            for x, y, o in zip(a, b, off))
+                out[dst] = data[src]
+                filled[dst] = True
+            if out is None or not filled.all():
                 raise ValueError(
-                    f"shard {key} not found in {dirpath} — the restore "
-                    f"mesh partitions {name} differently than the save")
-            data = index[key][key]
-            want = tuple((sl.stop or s) - (sl.start or 0)
-                         for sl, s in zip(idx, shape))
-            if data.shape != want:
-                raise ValueError(
-                    f"shard {key} shape {data.shape} != expected {want}")
-            return data
+                    f"checkpoint {dirpath} does not cover the requested "
+                    f"{name} block [{lo}, {hi}) — missing shard files?")
+            return out
 
         return jax.make_array_from_callback(shape, sharding, cb)
 

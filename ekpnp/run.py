@@ -181,12 +181,16 @@ def cmd_run(args):
     state = None
     if args.resume:
         if ckpt.is_sharded_checkpoint(args.resume):
-            if mesh is None:
-                raise SystemExit(
-                    "a per-shard checkpoint directory needs --mesh to restore")
             print(f"Restoring from {args.resume} (lossless per-shard "
-                  f"resume, no gather)...")
-            state = ckpt.load_sharded(args.resume, cfg, mesh)
+                  f"resume, no gather; mesh-elastic)...")
+            if mesh is None:
+                # meshless resume: stitch onto one device (mesh-elastic)
+                from .parallel import mesh as pmesh
+
+                m1 = pmesh.make_mesh(jax.devices()[:1])
+                state = ckpt.load_sharded(args.resume, cfg, m1)
+            else:
+                state = ckpt.load_sharded(args.resume, cfg, mesh)
         elif ckpt.is_full_checkpoint(args.resume):
             print(f"Restoring from {args.resume} (lossless full-state resume)...")
             state = ckpt.load_full_npz(args.resume, cfg)

@@ -221,6 +221,32 @@ def test_pencil_shardmap_d3q7_injection(eight_devices):
             rtol=1e-11, atol=1e-13, err_msg=name)
 
 
+def test_sharded_checkpoint_mesh_elastic(eight_devices, tmp_path):
+    """A per-shard checkpoint saved on one mesh layout restores bit-exactly
+    onto a DIFFERENT layout (io/checkpoint.py load_sharded stitches each
+    requested block from the overlapping saved pieces): 4-way slab ->
+    (2,2) pencil -> single device."""
+    from ekpnp.io.checkpoint import load_sharded, save_sharded
+
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul")
+    state, _ = initialize(cfg)
+    m4 = pmesh.make_mesh(eight_devices[:4], pencil=False)
+    s4 = pmesh.shard_state(cfg, m4, state)
+    ck = str(tmp_path / "elastic.ckpt")
+    save_sharded(ck, cfg, s4)
+
+    ref = {n: np.asarray(getattr(state, n)) for n in
+           ("f", "h", "hn", "g", "phi")}
+    for target in (pmesh.make_mesh(eight_devices[:4], pencil=True),
+                   pmesh.make_mesh(eight_devices[:1])):
+        back = load_sharded(ck, cfg, target)
+        for name, want in ref.items():
+            got = np.asarray(getattr(back, name))
+            assert np.array_equal(got, want), \
+                f"{name} not bit-exact restoring onto {dict(target.shape)}"
+        assert float(back.t) == float(state.t)
+
+
 def test_halo_multi_step_hx_chunk_matches_single(eight_devices):
     """The sharded multi-step chunk with x-Hartley-encoded phi carry
     (make_halo_multi_step routing through step_halo phi_hx=True: encode
