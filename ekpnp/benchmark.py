@@ -307,17 +307,25 @@ def main(argv=None):
             and not args.no_parity_run):
         import subprocess
 
-        cmd = [sys.executable, "-m", "ekpnp", "bench",
-               "--mode", "coupled", "--scalar-lattice", "same",
-               "--size", str(result["n"]), "--steps", str(args.steps),
-               "--reps", str(args.reps),
-               "--dtype", args.dtype, "--no-parity-run"]
         # Deadline-aware: the driver kills bench.py at EKPNP_BENCH_BUDGET_S
         # (1800 s); the headline line must print before that even when the
         # parity variant compiles cold (~10 min through the tunnel), so the
         # subprocess gets what is left of the budget minus a print margin.
         budget = float(os.environ.get("EKPNP_BENCH_BUDGET_S", 1800.0))
         t_left = budget - (time.perf_counter() - t_start) - 90.0
+        # With a comfortable budget, measure the parity variant with a
+        # 9-window median: its roofline fraction sits closest to the 80%
+        # bar, and extra windows cost ~1 s each.  The step count per
+        # window stays at the headline's value — it is the compiled scan
+        # length, so changing it would miss the persistent compile cache
+        # and re-pay the ~10-min parity kernel compile.
+        p_steps = args.steps
+        p_reps = max(args.reps, 9) if t_left > 300 else args.reps
+        cmd = [sys.executable, "-m", "ekpnp", "bench",
+               "--mode", "coupled", "--scalar-lattice", "same",
+               "--size", str(result["n"]), "--steps", str(p_steps),
+               "--reps", str(p_reps),
+               "--dtype", args.dtype, "--no-parity-run"]
         if t_left < 60.0:
             # Not enough budget left for any useful parity window; running
             # anyway would push the headline JSON print past the driver's
@@ -345,6 +353,8 @@ def main(argv=None):
                 out["ref_parity_vs_roofline"] = parity["vs_baseline"]
                 if "spread" in parity:
                     out["ref_parity_spread"] = parity["spread"]
+                if "windows" in parity:
+                    out["ref_parity_windows"] = parity["windows"]
                 out["ref_parity_knobs"] = "TY=64 hartley_x=on phi_hx=off"
             except Exception as e:  # parity run is best-effort extra info
                 print(f"# parity subbench failed: {e}", file=sys.stderr)
