@@ -78,7 +78,12 @@ def main():
         print("FAIL: non-finite state")
         return 1
 
-    s = run(s)  # dispatch-path warm
+    # dispatch-path warm: one full synced window, or the first timed
+    # window reads ~2x slow while the dispatch queue ramps (measured
+    # 683 vs 1275 MLUPS steady at 256^3)
+    for _ in range(4):
+        s = run(s)
+    float(jnp.sum(s.f[0, 0, 0]))
     windows = []
     for _ in range(5):
         t0 = time.perf_counter()
