@@ -59,20 +59,28 @@ def main():
     ap.add_argument("--plain-mlups", type=float, default=1384.0,
                     help="validated plain-path headline at this size for the "
                     "overhead ratio (bench.py r4)")
+    ap.add_argument("--slab", action="store_true",
+                    help="probe the ('y',) slab halo kernel instead of the "
+                    "('y','x') pencil form (tpu_halo_compile.py's variant, "
+                    "at a size where two live compiled paths don't fit)")
     args = ap.parse_args()
     n = args.n
 
     cfg = preset("reference", nx=n, ny=n, nz=n + 1, dtype="float32",
                  fft_method="matmul", scalar_lattice="D3Q7")
-    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("y", "x"))
+    if args.slab:
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("y",))
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("y", "x"))
     assert supports_halo_step(cfg, mesh)
 
+    tag = "slab" if args.slab else "pencil(1x1 shard_map)"
     run = make_halo_multi_step(cfg, mesh, args.steps)
     s = _init(cfg)
     t0 = time.perf_counter()
     s = run(s)
     float(jnp.sum(s.f[0, 0, 0]))
-    print(f"shard_x pencil kernel at {n}^3 COMPILED + ran "
+    print(f"{tag} halo kernel at {n}^3 COMPILED + ran "
           f"({time.perf_counter() - t0:.1f} s incl. compile)", flush=True)
     if not np.isfinite(float(jnp.sum(s.phi[0, 0]))):
         print("FAIL: non-finite state")
@@ -94,7 +102,7 @@ def main():
     per_step = sorted(windows)[len(windows) // 2]
     mlups = cfg.grid.num_nodes / per_step / 1e6
     spread = (max(windows) - min(windows)) / per_step
-    print(f"pencil(1x1 shard_map) at {n}^3: {mlups:.1f} MLUPS "
+    print(f"{tag} at {n}^3: {mlups:.1f} MLUPS "
           f"(median of {len(windows)} windows, spread {100 * spread:.1f}%)")
     print(f"vs plain-path headline {args.plain_mlups:.1f}: overhead "
           f"{100 * (args.plain_mlups / mlups - 1):.1f}%")
