@@ -162,6 +162,14 @@ def make_sharded_multi_step(cfg, mesh: Mesh, n: int):
 
         if supports_halo_step(cfg, mesh):
             return make_halo_multi_step(cfg, mesh, n)
+        import warnings
+
+        warnings.warn(
+            f"mesh {dict(mesh.shape)} cannot run the fused per-shard kernel "
+            f"(needs ny_local a multiple of 8; pencil x-shards whole "
+            f"128-lane tiles): falling back to the GSPMD oracle step, "
+            f"measured ~8x slower per chip (SCALING_r02 "
+            f"tpu_single_chip_path_gap)", RuntimeWarning, stacklevel=2)
 
     from ..step import step
 
