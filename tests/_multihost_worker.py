@@ -7,7 +7,7 @@ GSPMD step program is byte-identical on every process (SPMD); process 0
 writes the gathered result for the launching test to compare against a
 single-process run.
 
-Usage: python tests/_multihost_worker.py <pid> <nprocs> <port> <out.npz>
+Usage: python tests/_multihost_worker.py <pid> <nprocs> <port> <out.npz> [pencil]
 """
 import os
 import sys
@@ -27,6 +27,7 @@ jax.config.update("jax_enable_x64", True)
 def main():
     pid, nprocs, port, outpath = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    pencil = len(sys.argv) > 5 and sys.argv[5] == "pencil"
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=nprocs,
@@ -48,7 +49,10 @@ def main():
     # arrays into one global sharded array per field
     state, _ = initialize(cfg)
     state_np = jax.tree.map(lambda x: np.asarray(x), state)
-    mesh = pmesh.make_mesh(jax.devices(), pencil=False)
+    # pencil: the merged 4 devices form a (2, 2) ("y", "x") mesh whose x
+    # splits CROSS the process boundary — per-shard checkpoint offsets and
+    # the distributed transforms then carry 2-D indices across hosts
+    mesh = pmesh.make_mesh(jax.devices(), pencil=pencil)
     shardings = pmesh.state_shardings(cfg, mesh)
 
     def lift(x, sh):

@@ -13,6 +13,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from ekpnp import preset
 from ekpnp.init import initialize
@@ -29,7 +30,8 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_equals_single_process(tmp_path):
+@pytest.mark.parametrize("decomp", ["slab", "pencil"])
+def test_two_process_distributed_equals_single_process(tmp_path, decomp):
     out = tmp_path / "mh.npz"
     port = _free_port()
     env = dict(os.environ)
@@ -37,7 +39,8 @@ def test_two_process_distributed_equals_single_process(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(pid), "2", str(port), str(out)],
+            [sys.executable, _WORKER, str(pid), "2", str(port), str(out),
+             decomp],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
