@@ -65,8 +65,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=0, help="cubic grid edge (0 = auto)")
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--reps", type=int, default=5,
-                    help="timed windows; the reported value is their median")
+    ap.add_argument("--reps", type=int, default=9,
+                    help="timed windows; the reported value is their median "
+                    "(9 by default — the round-4 headline's 5-window median "
+                    "carried a 5.9%% spread; windows cost ~1 s each)")
     ap.add_argument("--mode", choices=["coupled", "fluid", "poisson", "pbinit"],
                     default="coupled")
     ap.add_argument("--dtype", default="float32")

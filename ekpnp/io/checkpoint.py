@@ -210,7 +210,13 @@ def load_sharded(dirpath: str, cfg: Config, mesh) -> State:
     restores onto a 2-way slab, a pencil, or a single device (each
     requested local block is stitched from the saved pieces that overlap
     it; only the overlapping bytes are read).  Bit-exact inverse of
-    save_sharded."""
+    save_sharded.
+
+    Multi-host note: every process globs ALL shard_*.npz files, so a
+    cross-layout restore (local blocks crossing the saving process's
+    boundaries) requires the checkpoint directory on a SHARED filesystem
+    (or pre-copied to every host).  Same-layout restores only ever read
+    pieces this process saved, so they work host-local too."""
     import glob
     import json
 

@@ -77,6 +77,13 @@ def _parse_overrides(pairs):
         if "=" not in pair:
             raise SystemExit(f"--set expects key=value, got {pair!r}")
         k, v = pair.split("=", 1)
+        # booleans first, case-insensitively: ast.literal_eval only knows
+        # Python True/False, so `--set flag=false` would otherwise survive
+        # as the truthy string "false" and silently ENABLE the flag
+        # (round-4 advisor finding)
+        if v.lower() in ("true", "false"):
+            out[k] = v.lower() == "true"
+            continue
         try:
             out[k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):

@@ -11,7 +11,7 @@ process (two do not fit one v5e's 16 GB — CLAUDE.md), so the comparison
 baseline is the separately-validated plain-path headline (bench.py,
 1379.9-1384.0 MLUPS r4) passed via --plain-mlups.
 
-Run: python scripts/tpu_pencil_256_probe.py [N=256] [--plain-mlups 1384.0]
+Run: python scripts/tpu_pencil_256_probe.py [N=256] [--plain-mlups 1379.9]
 """
 import argparse
 import os
@@ -56,7 +56,7 @@ def main():
     ap.add_argument("n", nargs="?", type=int, default=256)
     ap.add_argument("--steps", type=int, default=10,
                     help="steps per compiled chunk (matches the 128^3 probe)")
-    ap.add_argument("--plain-mlups", type=float, default=1384.0,
+    ap.add_argument("--plain-mlups", type=float, default=1379.9,  # the validated r4 headline (the recorded 8.6% tax baseline)
                     help="validated plain-path headline at this size for the "
                     "overhead ratio (bench.py r4)")
     ap.add_argument("--slab", action="store_true",
