@@ -7,7 +7,19 @@ LBM.cu:2613-2624), and the fast parser against np.loadtxt.
 import numpy as np
 import pytest
 
-native = pytest.importorskip("ekpnp.io.native")
+from ekpnp.io import native  # hard import: a native build break must FAIL,
+# not skip — the ctypes loader auto-builds from source (make -C native,
+# seconds), and the runtime fallback to pure Python would otherwise
+# silently mask the break (round-4 verdict item 9; .so is untracked now)
+
+
+def test_native_library_loaded():
+    """The runtime fast paths (tecplot.py, checkpoint.py) must actually be
+    running on the native library, not the silent Python fallback."""
+    assert native._lib is not None
+    import os
+
+    assert os.path.exists(native._SO)
 
 
 def test_tecplot_format_parity():
