@@ -27,9 +27,12 @@ from .state import Macro, State
 
 def step(cfg: Config, state: State, perturb: bool = False, mesh=None) -> tuple[State, Macro]:
     if cfg.run.use_pallas and not perturb:
-        from .pallas.step import step_pallas
+        # custom_vjp wrapper: fused-kernel forward, jnp-oracle backward —
+        # free when not differentiating, exact adjoint when jax.grad is
+        # applied over the step chain (pallas/step.py step_pallas_diff)
+        from .pallas.step import step_pallas_diff
 
-        new, _ = step_pallas(cfg, state, mesh=mesh)
+        new = step_pallas_diff(cfg, state, mesh, False)
         return new, None
 
     p = cfg.physics

@@ -68,6 +68,53 @@ def test_grad_through_coupled_steps_matches_finite_difference():
     assert abs(ad - fd) <= 1e-5 * max(1.0, abs(fd)), (ad, fd)
 
 
+def test_grad_through_pallas_fast_path_matches_oracle():
+    """Production-path differentiability (round-4 verdict item 6):
+    step_pallas_diff is the fused kernel forward with a custom_vjp whose
+    backward runs the jnp-oracle adjoint.  Its jax.grad must equal the
+    pure-jnp chain's grad (the two forwards agree to ~1e-11, so the
+    adjoints do too)."""
+    from ekpnp.ops.collide import compute_macro
+    from ekpnp.pallas.step import step_pallas_diff
+
+    cfg = preset("reference", nx=16, ny=8, nz=9, dtype="float64",
+                 fft_method="matmul")
+    shape = cfg.grid.shape
+    dtype = jnp.float64
+    rng = np.random.default_rng(3)
+    charge0 = jnp.asarray(0.01 + 1e-3 * rng.standard_normal(shape))
+
+    def make_loss(pallas):
+        def loss(c0):
+            macro = Macro(
+                rho=jnp.full(shape, 1000.0, dtype),
+                u=jnp.zeros((3,) + shape, dtype),
+                charge=c0,
+                chargen=jnp.full(shape, 0.01, dtype),
+                temp=jnp.full(shape, 0.5, dtype),
+            )
+            state = state_from_macro(
+                cfg, macro, jnp.zeros(shape, dtype),
+                jnp.zeros((3,) + shape, dtype), 0.0)
+            for _ in range(2):
+                if pallas:
+                    state = step_pallas_diff(cfg, state, None, True)
+                else:
+                    state, _ = step(cfg, state)
+            macro_out, _ = compute_macro(cfg, state)
+            return (jnp.sum(macro_out.u ** 2) * 1e6
+                    + jnp.sum(macro_out.charge ** 2))
+
+        return loss
+
+    val_p, grad_p = jax.value_and_grad(make_loss(True))(charge0)
+    val_o, grad_o = jax.value_and_grad(make_loss(False))(charge0)
+    assert np.isclose(float(val_p), float(val_o), rtol=1e-10)
+    g_p, g_o = np.asarray(grad_p), np.asarray(grad_o)
+    assert np.isfinite(g_p).all() and np.abs(g_p).max() > 0
+    np.testing.assert_allclose(g_p, g_o, rtol=1e-7, atol=1e-12)
+
+
 def test_jvp_linearization_is_consistent():
     # forward-mode through the same chain (jvp), checked against grad
     cfg = _cfg()
