@@ -45,6 +45,21 @@ This halo=True kernel variant is compile-proven on real hardware:
 scripts/tpu_halo_compile.py (1-device ('y',) mesh) compiles under Mosaic
 and reproduces the plain fused path bit-exactly (round-3).
 
+Comm/compute overlap (round-5, SURVEY.md:305): multi-step chunks run a
+one-step-lookahead pipeline — populations are final once the kernel (+
+pencil column fix) completes, so each step exchanges the NEXT step's
+population halo blocks right after its kernel, where XLA's
+latency-hiding scheduler is free to run the ppermutes concurrently with
+the serial spectral Poisson solve instead of gating the next kernel
+launch.  Only the 2-row phi halo (and the pencil pcol) depends on the
+solve output and stays at kernel time — <=4% of per-step ICI bytes.
+Bit-exact vs the serial form (same ppermutes, same rows, earlier) —
+tests/test_sharding.py test_overlapped_chunk_bit_exact_vs_serial.  A
+two-kernel interior/edge split was REJECTED on measured grounds: each
+extra strip pays the (TY+16)-row window amplification (the TY-cliff
+economics, scripts/tpu_ty_probe.py), ~+17% HBM traffic at ny_local=128
+— far above the overlap's gain.
+
 The kernel-side halo blocks are 8 rows deep (DMA sources must start on
 8-row tile boundaries, pallas/fused_step.py), but the kernel only ever
 reads the physics rows adjacent to the shard edge: window row 7 of the lo
@@ -116,7 +131,8 @@ def _local_cfg(cfg: Config, nshards: int, nx_shards: int = 1) -> Config:
 
 
 def step_halo(cfg: Config, state: State, mesh: Mesh,
-              interpret: bool = False, phi_hx: bool = False) -> State:
+              interpret: bool = False, phi_hx: bool = False,
+              pop_halos=None, emit_halos: bool = False):
     """One timestep: ppermute halo exchange + per-shard fused kernel under
     shard_map, then the GSPMD spectral Poisson solve.
 
@@ -125,7 +141,26 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
     transform commutes with row exchange), the kernel decodes each window
     plane on its MXU, and the solve runs with no x-stage at all
     (poisson_psi_hx_from_rhs).  Used by make_halo_multi_step, which
-    encodes/decodes once per compiled chunk."""
+    encodes/decodes once per compiled chunk.
+
+    Comm/compute overlap (SURVEY.md:305, round-4 verdict item 1 — the
+    one-step-lookahead pipeline): populations are FINAL as soon as the
+    kernel (+ the pencil column fix) finishes — only phi changes
+    afterwards — so the next step's population halo blocks can be
+    exchanged right after the kernel, leaving XLA's latency-hiding
+    scheduler free to run those ppermutes concurrently with the serial
+    spectral Poisson solve instead of gating the next kernel launch.
+      pop_halos=(los, his): consume these pre-exchanged population halo
+        blocks (from the previous step's emit or initial_pop_halos)
+        instead of exchanging at kernel time.
+      emit_halos=True: also return the NEXT step's population halo
+        blocks, exchanged here — between the kernel and the solve in
+        dataflow order.  Returns (state', (los', his')).
+    The 2-row phi halo (and the pencil pcol) depends on the solve output,
+    so it stays at kernel time — it is <=4% of the per-step ICI bytes
+    (2 rows of one scalar vs one row of every population field).
+    Bit-exact vs the serial form: the same ppermutes move the same rows,
+    only earlier."""
     p = cfg.physics
     nsh = mesh.shape["y"]
     pencil = "x" in mesh.axis_names
@@ -208,6 +243,9 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
             out_k = out_k.at[idx, :, :, lane].set(recv)
         return out_k
 
+    nspec = (2 if two else 1) if ek else 0
+    npops = 1 + nspec + (1 if th else 0)
+
     def local_step(*args):
         it = iter(args)
         f = next(it)
@@ -218,11 +256,17 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
 
         pops = [f] + ([h, hn] if ek and two else [h] if ek else []) + \
             ([g_] if th else [])
-        los, his = [], []
-        for a in pops:
-            lo, hi = exchange(a, 2, depth=1)
-            los.append(lo)
-            his.append(hi)
+        if pop_halos is not None:
+            # lookahead pipeline: the blocks were exchanged during the
+            # PREVIOUS step (overlapping its Poisson solve)
+            los = [next(it) for _ in range(npops)]
+            his = [next(it) for _ in range(npops)]
+        else:
+            los, his = [], []
+            for a in pops:
+                lo, hi = exchange(a, 2, depth=1)
+                los.append(lo)
+                his.append(hi)
         phi_lo = phi_hi = None
         kw = {}
         if ek:
@@ -245,13 +289,26 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
                 if g1 is not None else None
             ret = (f1, h1, hn1, g1, rhs)
         # drop inactive-field Nones so the outputs match out_specs
-        return tuple(x for x in ret if x is not None)
+        outs = [x for x in ret if x is not None]
+        if emit_halos:
+            # next step's population halos, exchanged HERE — after the
+            # kernel, independent of the solve that follows: XLA is free
+            # to hide these ppermutes under the solve's compute
+            elos, ehis = [], []
+            for a in outs[:npops]:
+                lo, hi = exchange(a, 2, depth=1)
+                elos.append(lo)
+                ehis.append(hi)
+            outs += elos + ehis
+        return tuple(outs)
 
-    nspec = (2 if two else 1) if ek else 0
     in_specs = [pop_s] * (1 + nspec) + ([pop_s] if th else []) + \
         ([sca_s] if ek else [])
-    out_specs = [pop_s] * (1 + nspec + (1 if th else 0)) + \
-        ([sca_s] if ek else [])
+    if pop_halos is not None:
+        in_specs += [pop_s] * (2 * npops)
+    out_specs = [pop_s] * npops + ([sca_s] if ek else [])
+    if emit_halos:
+        out_specs += [pop_s] * (2 * npops)
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
@@ -262,12 +319,18 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
     args = [state.f] + \
         ([state.h, state.hn] if ek and two else [state.h] if ek else []) + \
         ([state.g] if th else []) + ([state.phi] if ek else [])
+    if pop_halos is not None:
+        los_in, his_in = pop_halos
+        args += list(los_in) + list(his_in)
     outs = list(sharded(*args))
     f1 = outs.pop(0)
     h1 = outs.pop(0) if ek else None
     hn1 = outs.pop(0) if ek and two else None
     g1 = outs.pop(0) if th else None
     rhs = outs.pop(0) if ek else None
+    new_halos = None
+    if emit_halos:
+        new_halos = (tuple(outs[:npops]), tuple(outs[npops:2 * npops]))
 
     phi = state.phi
     if ek:
@@ -282,11 +345,52 @@ def step_halo(cfg: Config, state: State, mesh: Mesh,
         phi = jax.lax.with_sharding_constraint(phi, NamedSharding(mesh, sca_s))
 
     dt = state.t.dtype.type(p.dt(cfg.grid.dx))
-    return State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, t=state.t + dt)
+    new_state = State(f=f1, h=h1, hn=hn1, g=g1, phi=phi, t=state.t + dt)
+    if emit_halos:
+        return new_state, new_halos
+    return new_state
+
+
+def initial_pop_halos(cfg: Config, state: State, mesh: Mesh):
+    """Exchange the CURRENT state's population halo blocks — the pipeline
+    prologue for the overlapped chunk (the steady-state blocks come from
+    each step's emit_halos)."""
+    ek, th = cfg.physics.enable_ek, cfg.physics.enable_thermal
+    two = cfg.physics.two_species
+    nsh = mesh.shape["y"]
+    pencil = "x" in mesh.axis_names
+    xax = "x" if pencil else None
+    pop_s = P(None, None, "y", xax)
+    perm_fwd = [(i, (i + 1) % nsh) for i in range(nsh)]
+    perm_bwd = [(i, (i - 1) % nsh) for i in range(nsh)]
+
+    def local(*pops):
+        los, his = [], []
+        for a in pops:
+            n_rows = a.shape[2]
+            last = jax.lax.slice_in_dim(a, n_rows - 1, n_rows, axis=2)
+            first = jax.lax.slice_in_dim(a, 0, 1, axis=2)
+            lo = jnp.pad(jax.lax.ppermute(last, "y", perm_fwd),
+                         [(0, 0), (0, 0), (HALO - 1, 0), (0, 0)])
+            hi = jnp.pad(jax.lax.ppermute(first, "y", perm_bwd),
+                         [(0, 0), (0, 0), (0, HALO - 1), (0, 0)])
+            los.append(lo)
+            his.append(hi)
+        return tuple(los) + tuple(his)
+
+    pops = [state.f] + \
+        ([state.h, state.hn] if ek and two else [state.h] if ek else []) + \
+        ([state.g] if th else [])
+    np_ = len(pops)
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(pop_s,) * np_,
+        out_specs=(pop_s,) * (2 * np_), check_vma=False)
+    outs = sharded(*pops)
+    return tuple(outs[:np_]), tuple(outs[np_:])
 
 
 def make_halo_multi_step(cfg: Config, mesh: Mesh, n: int,
-                         interpret: bool = False):
+                         interpret: bool = False, overlap: bool = True):
     """n fused shard_map steps under one jit with stable shardings.
 
     When the kernel can carry phi in x-Hartley encoding (pallas/step.py
@@ -328,10 +432,28 @@ def make_halo_multi_step(cfg: Config, mesh: Mesh, n: int,
             s = s._replace(phi=psi_hx_from_phi(cfg, s.phi))
 
         # unroll=2 so buffers ping-pong (see step.multi_step)
-        def body(carry, _):
-            return step_halo(cfg, carry, mesh, interpret, phi_hx=hx), None
+        if overlap:
+            # one-step-lookahead pipeline (SURVEY.md:305): each step's
+            # population-halo ppermutes run right after its kernel,
+            # overlapping the spectral solve; the kernel consumes blocks
+            # exchanged one step earlier.  Bit-exact vs overlap=False.
+            los0, his0 = initial_pop_halos(cfg, s, mesh)
 
-        out, _ = jax.lax.scan(body, s, None, length=n, unroll=2)
+            def body(carry, _):
+                st, los, his = carry
+                st2, (los2, his2) = step_halo(
+                    cfg, st, mesh, interpret, phi_hx=hx,
+                    pop_halos=(los, his), emit_halos=True)
+                return (st2, los2, his2), None
+
+            (out, _, _), _ = jax.lax.scan(
+                body, (s, los0, his0), None, length=n, unroll=2)
+        else:
+            def body(carry, _):
+                return step_halo(cfg, carry, mesh, interpret,
+                                 phi_hx=hx), None
+
+            out, _ = jax.lax.scan(body, s, None, length=n, unroll=2)
         if hx:
             out = out._replace(phi=phi_from_psi_hx(cfg, out.phi))
         return out

@@ -106,6 +106,20 @@ def build_config(args):
     return preset(args.preset, **overrides)
 
 
+def cmd_merge(args):
+    """Assemble per-shard field dumps (a --mesh/--distributed run's
+    fields_NNNNNN.shards/) into the single-file artifacts: data.dat
+    tecplot zones + data_end.dat/.npz — byte-identical to what a
+    non-sharded run writes (io/fields.py)."""
+    from .io.fields import merge_run_dir
+
+    cfg = build_config(args)
+    n = merge_run_dir(args.rundir, cfg)
+    print(f"merged {n} zones -> {os.path.join(args.rundir, 'data.dat')} "
+          f"(+ data_end.dat, data_end.npz)")
+    return 0
+
+
 def cmd_info(args):
     from .diagnostics import dimensionless_banner
 
@@ -255,11 +269,33 @@ def cmd_run(args):
     macro, _ = macro_fn(cfg, state)
     E_io = efield_now(state)
 
-    fout = open(os.path.join(outdir, "data.dat"), "w")
+    # sharded runs dump per-shard field files instead of gathering every
+    # zone through one process (reference gathers on its one GPU,
+    # LBM.cu:2492-2565; at BASELINE config-5 scale that is ~1.5 GB x 14
+    # ASCII columns per zone through process 0).  `ekpnp merge` rebuilds
+    # the byte-identical data.dat offline (io/fields.py).
+    sharded_io = mesh is not None
+    if sharded_io:
+        from .io.fields import save_fields_sharded
+
+        fout = None
+        print(f"  field dumps: per-shard (fields_NNNNNN.shards/); run "
+              f"`ekpnp merge {args.preset} {outdir}` for data.dat")
+
+        def _zone_sharded(d, macro, phi, E, t):
+            save_fields_sharded(
+                os.path.join(outdir, f"fields_{d:06d}.shards"),
+                cfg, macro, phi, E, t)
+    else:
+        fout = open(os.path.join(outdir, "data.dat"), "w")
     fumax = open(os.path.join(outdir, "umax.dat"), "w")
     fcsv = open(os.path.join(outdir, "series.csv"), "w")
     fcsv.write("step,t,umax_uz,umax_mag,current,mean_T\n")
-    tecplot.write_zone(fout, cfg, macro, state.phi, E_io, float(state.t), first=True)
+    if sharded_io:
+        _zone_sharded(0, macro, state.phi, E_io, float(state.t))
+    else:
+        tecplot.write_zone(fout, cfg, macro, state.phi, E_io, float(state.t),
+                           first=True)
     aio = _AsyncIO()
 
     nsteps = cfg.run.nsteps
@@ -351,6 +387,11 @@ def cmd_run(args):
             t_sv, d_sv = float(state.t), done
 
             def _dump(macro=macro, phi=phi_sv, E=E_sv, t=t_sv, d=d_sv):
+                if sharded_io:
+                    # per-shard npz: each process fetches + writes only
+                    # its addressable shards (still on the writer thread)
+                    _zone_sharded(d, macro, phi, E, t)
+                    return
                 tecplot.write_zone(fout, cfg, macro, phi, E, t)
                 if args.save_scalars:
                     from .io.scalars import save_scalars
@@ -380,24 +421,33 @@ def cmd_run(args):
     aio.close()  # drain pending dumps before the final zone
     macro, _ = macro_fn(cfg, state)
     E_io = efield_now(state)
-    tecplot.write_zone(fout, cfg, macro, state.phi, E_io, float(state.t))
-    if args.vtk:
+    if sharded_io:
+        _zone_sharded(nsteps, macro, state.phi, E_io, float(state.t))
+    else:
+        tecplot.write_zone(fout, cfg, macro, state.phi, E_io, float(state.t))
+    if args.vtk and not sharded_io:
         from .io.vtk import write_vtk
 
         write_vtk(
             os.path.join(outdir, f"fields{nsteps:06d}.vtk"),
             cfg, macro, state.phi, E_io, float(state.t),
         )
-    fout.close()
+    if fout is not None:
+        fout.close()
     fumax.close()
     fcsv.close()
 
-    ckpt.save_npz(
-        os.path.join(outdir, "data_end.npz"), cfg, macro, state.phi, E_io, float(state.t)
-    )
-    ckpt.save_reference_ascii(
-        os.path.join(outdir, "data_end.dat"), cfg, macro, state.phi, E_io, float(state.t)
-    )
+    if not sharded_io:
+        # sharded runs: data_end.dat/.npz come from `ekpnp merge` (these
+        # writers materialize global arrays; io/fields.py)
+        ckpt.save_npz(
+            os.path.join(outdir, "data_end.npz"), cfg, macro, state.phi,
+            E_io, float(state.t)
+        )
+        ckpt.save_reference_ascii(
+            os.path.join(outdir, "data_end.dat"), cfg, macro, state.phi,
+            E_io, float(state.t)
+        )
     if args.checkpoint_full:
         if mesh is not None:
             # sharded runs: lossless per-shard directory, no global gather
@@ -485,6 +535,13 @@ def main(argv=None):
     p_info = sub.add_parser("info", help="print configuration banner")
     common(p_info)
     p_info.set_defaults(fn=cmd_info)
+
+    p_merge = sub.add_parser(
+        "merge", help="assemble a sharded run's per-shard field dumps "
+        "(fields_NNNNNN.shards/) into data.dat + data_end.dat/.npz")
+    common(p_merge)
+    p_merge.add_argument("rundir", help="the sharded run's --outdir")
+    p_merge.set_defaults(fn=cmd_merge)
 
     sub.add_parser(
         "bench", help="single-chip MLUPS / Poisson benchmark (one JSON "

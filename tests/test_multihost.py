@@ -73,3 +73,18 @@ def test_two_process_distributed_equals_single_process(tmp_path, decomp):
             np.asarray(a), got[name], rtol=1e-12, atol=1e-14,
             err_msg=f"{name} differs between 1-process and 2-process runs",
         )
+
+    # per-shard field I/O (round-5 verdict item 2): the offline merge of
+    # the two processes' shard dumps must be BYTE-identical to the
+    # single-file zones write_zone produced from the allgathered fields
+    # (the workers wrote both; no process materialized a global array on
+    # the dump path — np.asarray(global) raises under 2 processes)
+    from ekpnp.io.fields import merge_run_dir
+
+    iodir = str(out) + ".io"
+    nzones = merge_run_dir(iodir, cfg)
+    assert nzones == 2
+    merged = open(os.path.join(iodir, "data.dat"), "rb").read()
+    expected = open(os.path.join(iodir, "expected_data.dat"), "rb").read()
+    assert merged == expected, "merged shard dump != single-process zones"
+    assert os.path.exists(os.path.join(iodir, "data_end.dat"))

@@ -221,6 +221,36 @@ def test_pencil_shardmap_d3q7_injection(eight_devices):
             rtol=1e-11, atol=1e-13, err_msg=name)
 
 
+@pytest.mark.parametrize("pencil", [False, True])
+def test_overlapped_chunk_bit_exact_vs_serial(eight_devices, pencil):
+    """Halo-comm/compute overlap (SURVEY.md:305, round-5): the
+    one-step-lookahead pipeline — each step's population-halo ppermutes
+    issued right after its kernel so XLA can hide them under the spectral
+    solve — moves the same rows through the same ppermutes as the serial
+    exchange-then-kernel form, so overlap=True must be BIT-exact vs
+    overlap=False, on slab and pencil meshes."""
+    from ekpnp.parallel import halo as phalo
+
+    cfg = preset("reference", nx=16, ny=32, nz=9, fft_method="matmul",
+                 use_pallas=True, scalar_lattice="D3Q7")
+    state, _ = initialize(cfg)
+    m = pmesh.make_mesh(eight_devices[:4], pencil=pencil)
+
+    def fresh():
+        c = jax.tree_util.tree_map(lambda x: jnp.array(x), state,
+                                   is_leaf=lambda x: x is None)
+        return pmesh.shard_state(cfg, m, c)
+
+    a = phalo.make_halo_multi_step(cfg, m, 3, interpret=True,
+                                   overlap=False)(fresh())
+    b = phalo.make_halo_multi_step(cfg, m, 3, interpret=True,
+                                   overlap=True)(fresh())
+    for name in ("f", "h", "hn", "g", "phi"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name)
+
+
 def test_sharded_checkpoint_mesh_elastic(eight_devices, tmp_path):
     """A per-shard checkpoint saved on one mesh layout restores bit-exactly
     onto a DIFFERENT layout (io/checkpoint.py load_sharded stitches each
