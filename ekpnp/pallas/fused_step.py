@@ -292,6 +292,20 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     single GPU wraps x through global memory (LBM.cu:1970-1975); this is
     the TPU pencil decomposition SURVEY.md:161-163 commits to.
 
+    Analytic dead end — recovering the x-Hartley RHS fusion on pencil
+    shards by emitting PARTIAL sums (round-5; each shard computes
+    local_rows @ cas[x0:x1, :] on its local columns, then a
+    reduce_scatter over the x ring completes the sum): the partial
+    product is FULL-NX wide on every shard, so vs the current post-solve
+    GSPMD x-stage (all_to_all repartition, vol x (k-1)/k^2 per chip) it
+    multiplies BOTH the emission HBM bytes (x k: each of k shards writes
+    an NX-wide partial instead of its NX/k slice) and the ICI bytes
+    (x k: reduce_scatter moves vol x (k-1)/k).  At k = 2 that is ~2 x
+    26 MB extra HBM + 33 MB extra ICI per step at 256^3 to save a
+    ~0.14 ms x-stage — strictly dominated, not built.  The pencil tax
+    therefore keeps the serial x-stage (measured 8.6% total at 256^3,
+    scripts/tpu_pencil_256_probe.py).
+
     pad_x: lane-tile padding of the x axis.  Mosaic requires whole
     128-lane tiles for the window DMAs and lane rolls (every NX < 128
     failed remote compile round 1), so grids like the reference's own
