@@ -102,7 +102,32 @@ def _pick_ty(cfg, qs, nxp=None, vmem_budget=64 * 1024 * 1024):
       cchunk=128, emit_group=27 ES=3   1027.5 MLUPS
     vs ~1332 at whole-plane TY=128 (1365-1369 with phi_hx) — the ~5%
     amplification win cannot pay the ~11% chunk cost, so TY=128
-    whole-plane stays the headline production point too."""
+    whole-plane stays the headline production point too.
+
+    Round-5 parity accounting (scripts/tpu_parity_accounting.py, the
+    where-do-the-missing-points-go deliverable; 256^3 f32 all-D3Q27
+    TY=64, hartley_x on / phi_hx off, v5e, spreads 0.7-3.2%):
+      roofline step (1040 B/node)       21.39 ms
+      measured step                     26.187 ms = 81.7% of roofline
+      kernel alone (no solve)           25.157 ms = 96.1% of the step
+      solve alone (rhs_hx)               1.904 ms (vs 2.178 full solve)
+      scan absorbs 0.874 ms (46%) of the solve behind kernel dispatch
+      kernel amplified-byte floor       20.17 ms (981 B/node: 540 read
+                                        x1.25 windows + 432 write + 9
+                                        phi/rhs)
+      -> kernel HBM utilization on bytes it ACTUALLY moves: 80.2%;
+         at 100% BW the step would be 21.20 ms = 100.9% of roofline.
+    So the entire gap to the roofline bar is kernel DMA-pipeline
+    inefficiency — per-plane windows of (TY+16) rows with only TY rows
+    of compute to hide them, per-strip pipeline restarts, synchronous
+    wall-plane emits — NOT emit-buffer or f_pin/wall_buf traffic, and
+    NOT the solve (96.1%/3.9% split).  The headline config shows the
+    same ~80-82% raw kernel BW; it reads 94.4% of ITS roofline only
+    because the fixed 176 B/node scalar+solve allowance is a 31% slack
+    of the D3Q7 denominator vs 17% of the parity one.  Every widening
+    lever was measured dead above (TY=128 chunked variants -18..-26%),
+    so TY=64 whole-plane at 643.9 MLUPS stands as the parity production
+    point with this table as its accounting."""
     g = cfg.grid
     nx = nxp or g.nx
     for ty in (128, 64, 32, 16, 8):

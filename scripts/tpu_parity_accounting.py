@@ -172,42 +172,41 @@ def mode_table(n, t_step, t_kern, t_solve):
     nodes = cfg.grid.num_nodes
     bw = 819e9
     q = 108  # 4 fields x D3Q27
-    # roofline denominator (benchmark.py): 108 dirs x r+w x 4B + scalars
-    # 48 + poisson passes 128
+    # roofline denominator (benchmark.py): 108 dirs x r+w x 4B + scalar
+    # allowance 48 + poisson-pass allowance 128
     bpn_roof = q * 8 + 48 + 128
     t_roof = nodes * bpn_roof / bw * 1e3
-    # kernel's own byte model: amplified reads (TY=64 windows re-read 16
-    # halo rows: x1.25) + writes + phi windows (amplified) + E-from-phi is
-    # in-kernel (no E traffic) + rhs write (hx) + macro scalars
+    # bytes the kernel ACTUALLY moves: amplified reads (TY=64 windows
+    # re-DMA 16 halo rows per plane: x(TY+16)/TY) + plain writes + phi
+    # windows + the rhs emission; E is built in-kernel (no E traffic),
+    # macros are not stored per step (multi_step carries populations only)
     ty_amp = (64 + 16) / 64
-    kern_bytes = (q * 4 * ty_amp        # population reads, amplified
-                  + q * 4               # population writes
-                  + 4 * ty_amp          # phi windows
-                  + 4                   # rhs emission write
-                  + 24)                 # macro scalar emissions (rho,u,q,qn,T)
-    t_kern_roof = nodes * kern_bytes / bw * 1e3
-    # solve at its byte floor: ~10 field-size passes over the interior
-    t_solve_roof = 10 * (cfg.grid.nz - 2) * cfg.grid.ny * cfg.grid.nx * 4 \
-        / bw * 1e3
-    glue = t_step - t_kern - t_solve
+    kern_bytes = q * 4 * ty_amp + q * 4 + 4 * ty_amp + 4
+    t_kern_floor = nodes * kern_bytes / bw * 1e3
+    absorbed = t_kern + t_solve - t_step
     print(f"parity step accounting at {n}^3 (f32, all-D3Q27, TY=64, "
-          f"hartley_x on):")
-    print(f"  roofline step (benchmark.py {bpn_roof} B/node): "
-          f"{t_roof:.2f} ms")
-    print(f"  measured step: {t_step:.2f} ms = {t_roof / t_step:.1%} of "
-          f"roofline")
-    print(f"  kernel  : {t_kern:.2f} ms ({t_kern / t_step:.1%} of step); "
-          f"its own amplified-byte floor {t_kern_roof:.2f} ms -> kernel "
-          f"HBM utilization {t_kern_roof / t_kern:.1%}")
-    print(f"  solve   : {t_solve:.2f} ms ({t_solve / t_step:.1%}); "
-          f"10-pass byte floor {t_solve_roof:.2f} ms -> "
-          f"{t_solve_roof / t_solve:.1%} of its floor")
-    print(f"  glue/dispatch residue: {glue:.2f} ms "
-          f"({glue / t_step:.1%})")
-    amp_ceiling = t_roof / (nodes * (kern_bytes + 10 * 4 *
-                                     (cfg.grid.nz - 2) / cfg.grid.nz) / bw * 1e3)
-    print(f"  geometry ceiling (amplified kernel bytes + solve floor at "
-          f"perfect BW): {amp_ceiling:.1%} of roofline")
+          f"hartley_x on, phi_hx off):")
+    print(f"  roofline step ({bpn_roof} B/node @ 819 GB/s): {t_roof:.2f} ms")
+    print(f"  measured step : {t_step:.3f} ms = {t_roof / t_step:.1%} of "
+          f"roofline ({nodes / t_step / 1e3:.1f} MLUPS)")
+    print(f"  kernel alone  : {t_kern:.3f} ms = {t_kern / t_step:.1%} of "
+          f"the step")
+    print(f"  solve alone   : {t_solve:.3f} ms (rhs_hx: fwd-x stage "
+          f"rides the kernel MXU)")
+    print(f"  scan absorbs  : {absorbed:.3f} ms of the solve's latency "
+          f"({absorbed / t_solve:.0%}) behind kernel dispatch")
+    print(f"  kernel amplified-byte floor: {t_kern_floor:.2f} ms "
+          f"({kern_bytes:.0f} B/node = {q * 4 * ty_amp:.0f} read x1.25 + "
+          f"{q * 4} write + phi/rhs)")
+    print(f"  -> kernel HBM utilization on bytes it actually moves: "
+          f"{t_kern_floor / t_kern:.1%}")
+    print(f"  if the kernel ran at 100% BW: step = "
+          f"{t_kern_floor + (t_step - t_kern):.2f} ms = "
+          f"{t_roof / (t_kern_floor + t_step - t_kern):.1%} of roofline")
+    print("  => the unharvested points are kernel DMA-pipeline "
+          "inefficiency (windows of TY+16 rows with TY rows of compute "
+          "to hide them, per-strip pipeline restarts, synchronous "
+          "wall-plane emits), NOT emit/f_pin traffic and NOT the solve.")
 
 
 def main():
