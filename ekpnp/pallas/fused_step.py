@@ -158,8 +158,8 @@ def fused_supported(cfg: Config) -> bool:
     g = cfg.grid
     if g.nz < 4 or g.ny % 8:
         return False
-    if cfg.physics.charge_bc not in ("noflux", "injection"):
-        return False  # zerograd-top runs the jnp oracle path
+    if cfg.physics.charge_bc not in ("noflux", "injection", "zerograd-top"):
+        return False  # unknown BCs run the jnp oracle path
     for l in {cfg.lattice, cfg.scalar_lat}:
         if not all(int(l.OPP[i]) == i + 1 for i in range(1, l.Q, 2)):
             return False
@@ -376,9 +376,10 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         raise ValueError("fused kernel requires NY % 8 == 0")
 
     ek = p.enable_ek
-    if ek and p.charge_bc not in ("noflux", "injection"):
-        raise ValueError(f"fused kernel supports charge_bc noflux|injection, "
-                         f"not {p.charge_bc!r} (use the jnp oracle path)")
+    if ek and p.charge_bc not in ("noflux", "injection", "zerograd-top"):
+        raise ValueError(f"fused kernel supports charge_bc noflux|injection|"
+                         f"zerograd-top, not {p.charge_bc!r} (use the jnp "
+                         f"oracle path)")
     thermal = p.enable_thermal
     joule = p.joule if (p.enable_ek and p.enable_thermal) else 0.0
     # field layout: 0 = fluid, then the ion species (1 or 2 of them), then
@@ -386,6 +387,9 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
     # its moment is identically zero.
     nspec = (2 if p.two_species else 1) if ek else 0
     nf = 1 + nspec + (1 if thermal else 0)
+    # zerograd-top charge BC: ion plane NZ-1 post is the ghost copy of
+    # NZ-2 (see streamed_dir / emit_wall; reference LBM.cu:1929-1958)
+    ZG = ek and p.charge_bc == "zerograd-top"
 
     # per-field lattice: field 0 is the fluid, all others scalar transport
     field_lats = [lat] + [lat_s] * (nf - 1)
@@ -1040,6 +1044,15 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
         def streamed_dir(k, d, e):
             ex, ey, ez = ES[k][d]
             src_slot = jax.lax.rem(jnp.int32(e - ez + 3 * NZ), jnp.int32(3))
+            if ZG and 1 <= k <= nspec:
+                # zerograd-top ghost plane (reference LBM.cu:1929-1958):
+                # the ion post-collision plane NZ-1 is pre-stream-copied
+                # from NZ-2, so any ion read of plane NZ-1 sources slot
+                # (NZ-2)%3 instead.  Interior emits hit this only at
+                # e = NZ-2, ez = -1 (wrap reads of "plane NZ" land at the
+                # lower plate, which emit_wall overwrites with noflux).
+                src_slot = jnp.where(jnp.int32(e - ez) == NZ - 1,
+                                     jnp.int32((NZ - 2) % 3), src_slot)
             full = slot_pop[k][src_slot, d]
             val = jax.lax.slice_in_dim(full, 1 - ey, 1 - ey + TY, axis=0)
             return roll_x(val, ex)
@@ -1144,11 +1157,25 @@ def build_fused_step(cfg: Config, dtype=jnp.float32, interpret: bool = False,
                 # noflux: reflected post-collision opposites (d=0 maps to
                 # itself = the streamed rest, Yoshida LBM.cu:2102-2218);
                 # injection: anti-bounce-back to the plate charge level
-                # (the reference's commented ETHD regime, LBM.cu:2231-2292)
+                # (the reference's commented ETHD regime, LBM.cu:2231-2292);
+                # zerograd-top upper plate: every direction streams from
+                # the ghost plane (= plane NZ-2's post values at
+                # (y-ey, x-ex), reference LBM.cu:1929-1958) — ez=+1 dirs
+                # reach it by ordinary streaming, ez<=0 via the pre-stream
+                # plane copy the ghost encodes
                 inj = p.charge_bc == "injection"
                 cws = ((p.charge0, p.charge0n) if e == 0
                        else (p.charge1, p.charge1n))
                 for k in range(1, 1 + nspec):
+                    if ZG and e != 0:
+                        for d in range(QS[k]):
+                            ex_, ey_, _ez = ES[k][d]
+                            full = slot_pop[k][(NZ - 2) % 3, d]
+                            v = jax.lax.slice_in_dim(
+                                full, 1 - ey_, 1 - ey_ + TY, axis=0)
+                            wall_buf[d] = roll_x(v, ex_)
+                        wall_dma(k, e)
+                        continue
                     for d in range(QS[k]):
                         full = slot_pop[k][slot_e, OPPS[k][d]]
                         v = jax.lax.slice_in_dim(full, 1, 1 + TY, axis=0)

@@ -75,6 +75,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import lru_cache, partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -390,13 +391,20 @@ def initial_pop_halos(cfg: Config, state: State, mesh: Mesh):
 
 
 def make_halo_multi_step(cfg: Config, mesh: Mesh, n: int,
-                         interpret: bool = False, overlap: bool = True):
+                         interpret: bool = False,
+                         overlap: Optional[bool] = None):
     """n fused shard_map steps under one jit with stable shardings.
 
     When the kernel can carry phi in x-Hartley encoding (pallas/step.py
     _phi_hx_capable on the per-shard grid), the chunk encodes once, runs
     every step x-stage-free, and decodes once — state in and out is
     ordinary real phi either way."""
+    if overlap is None:
+        # A/B knob like EKPNP_HXRHS/EKPNP_PHIHX: EKPNP_OVERLAP=0 forces
+        # the serial exchange-then-kernel form (pod debugging / probes)
+        import os
+
+        overlap = os.environ.get("EKPNP_OVERLAP") != "0"
     check_divisibility(cfg, mesh)
     if not supports_halo_step(cfg, mesh, interpret):
         raise ValueError("halo step needs ny/n % 8 == 0 (and 128-lane "

@@ -171,25 +171,8 @@ def cmd_run(args):
             cfg = dataclasses.replace(
                 cfg, run=dataclasses.replace(cfg.run, use_pallas=True)
             )
-        elif (jax.default_backend() != "cpu"
-              and cfg.run.dtype == "float32"
-              and cfg.physics.charge_bc not in ("noflux", "injection")):
-            # the one configuration axis where a BC choice silently costs
-            # 12x (round-4 verdict item 7): zerograd-top is not fused
-            # (fused_step.py fused_supported), so the run drops to the jnp
-            # oracle — measured ~113 vs ~1380 MLUPS at 256^3 on v5e
-            import dataclasses
-            import warnings
-
-            probe = dataclasses.replace(
-                cfg, physics=dataclasses.replace(
-                    cfg.physics, charge_bc="noflux"))
-            if fused_recommended(probe):
-                warnings.warn(
-                    f"charge_bc={cfg.physics.charge_bc!r} is not supported "
-                    f"by the fused kernel; this run uses the jnp oracle "
-                    f"path (~12x slower at 256^3). noflux/injection run "
-                    f"fused.", RuntimeWarning, stacklevel=2)
+        # (round-5: all three charge BCs — noflux, injection, zerograd-top
+        # — run fused, so no BC choice silently forfeits the fast path)
 
     from .diagnostics import dimensionless_banner, series_point
     from .init import initialize

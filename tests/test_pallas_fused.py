@@ -52,6 +52,25 @@ def test_fused_full_coupled_multi_strip():
     _compare(cfg, ty=8)
 
 
+def test_fused_zerograd_top_bc():
+    """zerograd-top charge BC runs FUSED (round-5, upgrading the round-4
+    oracle-fallback warning): the ion ghost-plane copy (any read of plane
+    NZ-1 post sources NZ-2) + the all-directions upper-plate ghost emit
+    must equal the oracle (reference LBM.cu:1929-1958 made live)."""
+    from ekpnp.pallas.fused_step import fused_supported
+
+    cfg = preset("reference", nx=16, ny=8, nz=9, fft_method="matmul",
+                 charge_bc="zerograd-top")
+    assert fused_supported(cfg)
+    _compare(cfg, steps=3)
+
+
+def test_fused_zerograd_top_d3q7_multi_strip():
+    cfg = preset("reference", nx=16, ny=32, nz=9, fft_method="matmul",
+                 charge_bc="zerograd-top", scalar_lattice="D3Q7")
+    _compare(cfg, ty=8)
+
+
 def test_fused_fluid_only():
     cfg = preset(
         "reference", nx=16, ny=8, nz=9, enable_ek=False, enable_thermal=False,
