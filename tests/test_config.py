@@ -48,3 +48,18 @@ def test_cli_accepts_config_file(tmp_path, capsys):
     assert main(["info", str(p)]) == 0
     out = capsys.readouterr().out
     assert "10" in out
+
+
+def test_parse_overrides_bool_coercion():
+    """--set flag=false must DISABLE the flag (round-4 advisor finding:
+    ast.literal_eval only knows Python True/False, so lowercase spellings
+    survived as truthy strings — `use_pallas=false` forced Pallas ON)."""
+    from ekpnp.run import _parse_overrides
+
+    out = _parse_overrides([
+        "a=true", "b=false", "c=True", "d=False", "e=TRUE",
+        "f=1", "g=0.5", "h=text",
+    ])
+    assert out["a"] is True and out["c"] is True and out["e"] is True
+    assert out["b"] is False and out["d"] is False
+    assert out["f"] == 1 and out["g"] == 0.5 and out["h"] == "text"
