@@ -55,7 +55,14 @@ def save_fields_sharded(dirpath: str, cfg: Config, macro: Macro, phi, E,
     put("temp", macro.temp)
     put("phi", phi)
     put("E", E)
-    np.savez_compressed(os.path.join(dirpath, f"shard_{pid}.npz"), **payload)
+    # UNCOMPRESSED by default: deflate of a ~100 MB+ shard on the host
+    # CPU runs for seconds inside the timed loop's async writer and
+    # starves the dispatch thread (measured: a 128^3 sharded CLI run
+    # dropped 567 -> 99 MLUPS on the 2-core host).  EKPNP_COMPRESS_FIELDS=1
+    # opts back in where disk is the scarcer resource.
+    save = (np.savez_compressed
+            if os.environ.get("EKPNP_COMPRESS_FIELDS") == "1" else np.savez)
+    save(os.path.join(dirpath, f"shard_{pid}.npz"), **payload)
     if pid == 0:
         g = cfg.grid
         meta = {"grid": [g.nx, g.ny, g.nz], "t": float(t),

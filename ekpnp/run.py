@@ -290,6 +290,31 @@ def cmd_run(args):
 
     _adv_cache = {}
 
+    def _warm_exec(fn, st):
+        """Execute a freshly compiled chunk program once on a throwaway
+        zero state (donated + discarded), BEFORE the timed loop.
+
+        The first execution of a new executable pays a one-time
+        device-load cost that can dwarf the chunk itself on remote-TPU
+        transports (measured: 24.66 s first vs 3.34 s steady for the
+        same AOT 999-step chunk at 128^3 through the tunnel — the
+        compile step was already warm via the persistent cache).  The
+        physics state is untouched; skipped on CPU (no load cost, and
+        the warm would double a verification run's wall time) and when
+        a second state copy would not fit HBM."""
+        if jax.default_backend() == "cpu":
+            return
+        nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(st))
+        if 2.2 * nbytes > 13e9:  # two live states + workspace, 16 GB chip
+            return
+        try:
+            dummy = jax.tree_util.tree_map(jnp.zeros_like, st)
+            out = fn(dummy)
+            jax.block_until_ready(out)
+            del out
+        except Exception:
+            pass  # warming is best-effort
+
     def _compile_advance(st, n):
         """AOT-compile the n-step program (no execution, state untouched)."""
         if mesh is None:
@@ -298,6 +323,7 @@ def cmd_run(args):
             from .parallel.mesh import make_sharded_multi_step
 
             fn = make_sharded_multi_step(cfg, mesh, n).lower(st).compile()
+        _warm_exec(fn, st)
         _adv_cache[n] = fn
         return fn
 
