@@ -118,11 +118,14 @@ def list_dump_dirs(outdir: str) -> list[str]:
 
 
 def merge_run_dir(outdir: str, cfg: Config, data_path: str = None,
-                  end_path: str = None, end_npz_path: str = None) -> int:
+                  end_path: str = None, end_npz_path: str = None,
+                  vtk: bool = False) -> int:
     """Assemble every per-shard dump under `outdir` into the single-file
     artifacts a non-sharded run writes: reference-layout tecplot zones
     (data.dat) and, from the LAST dump, the 12-column data_end.dat +
-    data_end.npz checkpoints.  Returns the number of zones written."""
+    data_end.npz checkpoints; vtk=True also writes fieldsNNNNNN.vtk per
+    dump (the --vtk artifacts a non-sharded run would have produced).
+    Returns the number of zones written."""
     from .checkpoint import save_npz, save_reference_ascii
     from .tecplot import write_zone
 
@@ -134,6 +137,12 @@ def merge_run_dir(outdir: str, cfg: Config, data_path: str = None,
         for i, d in enumerate(dirs):
             macro, phi, E, t = _assemble(d, cfg)
             write_zone(fout, cfg, macro, phi, E, t, first=(i == 0))
+            if vtk:
+                from .vtk import write_vtk
+
+                step = os.path.basename(d)[len("fields_"):-len(".shards")]
+                write_vtk(os.path.join(outdir, f"fields{step}.vtk"),
+                          cfg, macro, phi, E, t)
     # final-state checkpoints in the reference's lossy semantics
     if end_path is None:
         end_path = os.path.join(outdir, "data_end.dat")

@@ -125,7 +125,7 @@ def cmd_merge(args):
     from .io.fields import merge_run_dir
 
     cfg = build_config(args)
-    n = merge_run_dir(args.rundir, cfg)
+    n = merge_run_dir(args.rundir, cfg, vtk=args.vtk)
     print(f"merged {n} zones -> {os.path.join(args.rundir, 'data.dat')} "
           f"(+ data_end.dat, data_end.npz)")
     return 0
@@ -592,6 +592,10 @@ def main(argv=None):
         "(fields_NNNNNN.shards/) into data.dat + data_end.dat/.npz")
     common(p_merge)
     p_merge.add_argument("rundir", help="the sharded run's --outdir")
+    p_merge.add_argument(
+        "--vtk", action="store_true",
+        help="also write fieldsNNNNNN.vtk per dump (the --vtk snapshots a "
+             "non-sharded run would have produced)")
     p_merge.set_defaults(fn=cmd_merge)
 
     sub.add_parser(
