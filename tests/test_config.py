@@ -63,3 +63,21 @@ def test_parse_overrides_bool_coercion():
     assert out["a"] is True and out["c"] is True and out["e"] is True
     assert out["b"] is False and out["d"] is False
     assert out["f"] == 1 and out["g"] == 0.5 and out["h"] == "text"
+
+
+def test_cli_finite_guard_aborts_with_rc2(tmp_path):
+    """The finite guard (SURVEY §5 failure detection; PARITY D10) must
+    abort a diverging run with exit code 2 — it now raises through the
+    async writer thread (run.py _NonFinite), so this pins the rewired
+    escape path end-to-end."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "ekpnp", "run", "reference", "--steps", "6",
+         "--platform", "cpu", "--precision", "f64",
+         "--set", "exf=1e38", "nx=8", "ny=8", "nz=9", "print_current=2",
+         "--outdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 2, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "non-finite state detected" in r.stderr
